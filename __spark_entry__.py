@@ -1,38 +1,232 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship CDC replay on sf0.001: reshape the events
+table into a binlog-shaped change feed, split into micro-batches,
+apply through the SnapshotMergeSink (dedup → bucket-pruned MERGE with
+tombstones + exactly-once ledger), return the final transcript table.
+
+``queries()`` / ``oracle_sql()`` — per-operator DuckDB cross-checks at
+sf0.01 (SURVEY.md §2 inventory).
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from chomper_spark.operators.dedup import dedup_latest
+from chomper_spark.operators.merge import SnapshotMergeSink
+from chomper_spark.operators import transforms as tx
+from chomper_spark.sources.feed import RESHAPE_SQL, change_feed_from_events, with_batch_id
+
+N_BATCHES = 4
+
+# Shared CTE text (ANSI, runs in BOTH Spark SQL and DuckDB): the feed
+# reshape + latest-wins ranking used by several oracles.
+_FEED_CTE = "feed AS (" + RESHAPE_SQL.format(events="events") + ")"
+_RANKED_CTE = (
+    "ranked AS (SELECT *, row_number() OVER ("
+    "PARTITION BY conv_id, turn_idx ORDER BY op_ts DESC, batch_seq DESC) AS rn FROM feed)"
+)
+FINAL_STATE_SQL = (
+    f"WITH {_FEED_CTE}, {_RANKED_CTE} "
+    "SELECT conv_id, turn_idx, role, text, tool, ts "
+    "FROM ranked WHERE rn = 1 AND op <> 'D'"
+)
+
+
+def _apply_feed(spark: SparkSession, sf_dir: str, replay_twice: bool = False) -> DataFrame:
+    """Run the real engine: micro-batch the feed, MERGE each batch."""
+    feed = with_batch_id(change_feed_from_events(spark, sf_dir), N_BATCHES)
+    feed = feed.persist()
+    sink = SnapshotMergeSink(
+        spark, tempfile.mkdtemp(prefix="chomper_spark_state_"), n_buckets=16
+    )
+    passes = 2 if replay_twice else 1
+    for p in range(passes):
+        for b in range(N_BATCHES):
+            batch = feed.filter(F.col("batch_id") == b).drop("batch_id")
+            # second pass replays the SAME batch ids → ledger skips them;
+            # idempotent MERGE would make them harmless regardless.
+            sink.apply_batch(batch, batch_id=b, collect_metrics=False)
+    feed.unpersist()
+    return sink.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _apply_feed(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# queries / oracle pairs
+# ---------------------------------------------------------------------------
+
+
+def _q_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return change_feed_from_events(spark, sf_dir)
+
+
+def _q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_latest(change_feed_from_events(spark, sf_dir))
+
+
+def _q_apply_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _apply_feed(spark, sf_dir)
+
+
+def _q_apply_replay_twice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _apply_feed(spark, sf_dir, replay_twice=True)
+
+
+def _q_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feed = with_batch_id(change_feed_from_events(spark, sf_dir), N_BATCHES)
+    return (
+        feed.groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("events_in"),
+            (F.count(F.lit(1)) - F.count_distinct("conv_id", "turn_idx")).alias("dedup_drops"),
+            F.count_distinct("conv_id", "turn_idx").alias("merge_rows"),
+        )
+    )
+
+
+def _q_tx_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feed = change_feed_from_events(spark, sf_dir)
+    return tx.pipe(
+        feed,
+        tx.defaults({"tool": "none"}),
+        tx.pick(["conv_id", "turn_idx", "batch_seq", "tool"]),
+    )
+
+
+def _q_tx_assign_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feed = change_feed_from_events(spark, sf_dir)
+    return tx.pipe(
+        feed,
+        tx.assign("source", "cdc"),
+        tx.assign("text_len", F.length(F.col("text"))),
+        tx.scalar_map("role", lambda c: F.upper(c)),
+        tx.pick(["batch_seq", "role", "source", "text_len"]),
+    )
+
+
+def _q_tx_drop_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feed = change_feed_from_events(spark, sf_dir)
+    return tx.pipe(
+        feed,
+        tx.drop_rows(F.col("op").isin("D") | (F.col("turn_idx") < 2)),
+        tx.pick(["batch_seq", "op", "conv_id", "turn_idx"]),
+    )
+
+
+def _q_tx_map_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feed = change_feed_from_events(spark, sf_dir)
+    return tx.pipe(
+        feed,
+        tx.map_values("role", {"user": "U", "assistant": "A"}),
+        tx.pick(["batch_seq", "role"]),
+    )
+
+
+def _q_tx_rename_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feed = change_feed_from_events(spark, sf_dir)
+    return tx.pipe(
+        feed,
+        tx.rename({"conv_id": "conversation_id"}),
+        tx.omit(["op", "op_ts", "ts", "tool"]),
+        tx.pick(["conversation_id", "turn_idx", "batch_seq", "role", "text"]),
+    )
+
+
+def _q_tx_nullify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feed = change_feed_from_events(spark, sf_dir)
+    return tx.pipe(
+        feed,
+        tx.nullify_field("tool", F.col("role") == "system"),
+        tx.pick(["batch_seq", "role", "tool"]),
+    )
+
+
+def _q_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return tx.pipe(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        tx.lookup_join(customer, on=["c_custkey"], how="left",
+                       select_cols=["c_custkey", "c_name", "c_mktsegment"]),
+        tx.drop_rows(F.col("o_orderstatus") != "O"),
+        tx.pick(["o_orderkey", "o_totalprice", "c_name", "c_mktsegment"]),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_reshape_feed": _q_reshape,
+        "cdc_dedup_latest": _q_dedup,
+        "cdc_apply_final_state": _q_apply_final,
+        "cdc_apply_replay_twice": _q_apply_replay_twice,
+        "cdc_lineage_per_batch": _q_lineage,
+        "tx_defaults": _q_tx_defaults,
+        "tx_assign_scalar_map": _q_tx_assign_scalar,
+        "tx_drop_rows": _q_tx_drop_rows,
+        "tx_map_values": _q_tx_map_values,
+        "tx_rename_pick_omit": _q_tx_rename_pick,
+        "tx_nullify_field": _q_tx_nullify,
+        "tx_lookup_join": _q_lookup_join,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    feed_sql = RESHAPE_SQL.format(events="events")
+    return {
+        "cdc_reshape_feed": feed_sql,
+        "cdc_dedup_latest": (
+            f"WITH {_FEED_CTE}, {_RANKED_CTE} "
+            "SELECT op, op_ts, batch_seq, conv_id, turn_idx, role, text, tool, ts "
+            "FROM ranked WHERE rn = 1"
+        ),
+        "cdc_apply_final_state": FINAL_STATE_SQL,
+        "cdc_apply_replay_twice": FINAL_STATE_SQL,
+        "cdc_lineage_per_batch": (
+            f"WITH {_FEED_CTE} "
+            "SELECT batch_seq % 4 AS batch_id, count(*) AS events_in, "
+            "count(*) - count(DISTINCT concat(conv_id, '#', cast(turn_idx AS STRING))) AS dedup_drops, "
+            "count(DISTINCT concat(conv_id, '#', cast(turn_idx AS STRING))) AS merge_rows "
+            "FROM feed GROUP BY batch_seq % 4"
+        ),
+        "tx_defaults": (
+            f"WITH {_FEED_CTE} "
+            "SELECT conv_id, turn_idx, batch_seq, coalesce(tool, 'none') AS tool FROM feed"
+        ),
+        "tx_assign_scalar_map": (
+            f"WITH {_FEED_CTE} "
+            "SELECT batch_seq, upper(role) AS role, 'cdc' AS source, "
+            "length(text) AS text_len FROM feed"
+        ),
+        "tx_drop_rows": (
+            f"WITH {_FEED_CTE} "
+            "SELECT batch_seq, op, conv_id, turn_idx FROM feed "
+            "WHERE NOT (op IN ('D') OR turn_idx < 2)"
+        ),
+        "tx_map_values": (
+            f"WITH {_FEED_CTE} "
+            "SELECT batch_seq, CASE WHEN role = 'user' THEN 'U' "
+            "WHEN role = 'assistant' THEN 'A' ELSE role END AS role FROM feed"
+        ),
+        "tx_rename_pick_omit": (
+            f"WITH {_FEED_CTE} "
+            "SELECT conv_id AS conversation_id, turn_idx, batch_seq, role, text FROM feed"
+        ),
+        "tx_nullify_field": (
+            f"WITH {_FEED_CTE} "
+            "SELECT batch_seq, role, CASE WHEN role = 'system' THEN NULL ELSE tool END AS tool FROM feed"
+        ),
+        "tx_lookup_join": (
+            "SELECT o_orderkey, o_totalprice, c_name, c_mktsegment "
+            "FROM orders LEFT JOIN customer ON o_custkey = c_custkey "
+            "WHERE o_orderstatus = 'O'"
+        ),
+    }

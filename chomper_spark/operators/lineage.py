@@ -1,0 +1,81 @@
+"""Per-batch, per-partition lineage & metrics.
+
+The analogue of the reference's items_processed / items_dropped
+counters (chomper/importers.py:44-45,81,102-105) and change listeners
+(chomper/contrib/postgres.py:395-426), emitted set-oriented: one row
+per (batch_id, key-partition) appended to a lineage table every
+micro-batch.  Aggregation is map-side-combinable (groupBy on the
+bucket id — same hash partitioning the MERGE already uses, so at
+scale the metrics pass rides the existing shuffle).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from chomper_spark import schema as S
+
+
+def batch_lineage(
+    batch: DataFrame,
+    batch_id: int,
+    n_buckets: int = 32,
+    key_cols: list[str] | None = None,
+    as_of_ts=None,
+) -> DataFrame:
+    """Per-key-partition metrics for one micro-batch.
+
+    events_applied: events landing in the partition
+    dedup_drops:    events superseded by a newer event for the same key
+    merge_rows:     distinct keys (rows hitting the MERGE)
+    watermark_lag_ms: processing-time lag vs the partition's newest
+                      event (NULL in pure batch replays, where there is
+                      no wall clock in the correctness path).
+    """
+    key_cols = key_cols or S.KEY_COLS
+    bucket = F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int")
+    lag = (
+        (F.unix_millis(F.lit(as_of_ts)) - F.unix_millis(F.max("op_ts"))).cast("long")
+        if as_of_ts is not None
+        else F.lit(None).cast("long")
+    )
+    return (
+        batch.withColumn("_pid", bucket)
+        .groupBy("_pid")
+        .agg(
+            F.count(F.lit(1)).alias("events_applied"),
+            (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in key_cols])).alias(
+                "dedup_drops"
+            ),
+            F.count_distinct(*[F.col(c) for c in key_cols]).alias("merge_rows"),
+            lag.alias("watermark_lag_ms"),
+        )
+        .select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            F.col("_pid").alias("partition_id"),
+            "events_applied",
+            "dedup_drops",
+            "merge_rows",
+            "watermark_lag_ms",
+        )
+    )
+
+
+class LineageTable:
+    """Append-only parquet lineage table, one directory per batch
+    (append without rewriting history; idempotent per batch_id)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def append(self, lineage_df: DataFrame, batch_id: int) -> None:
+        lineage_df.write.mode("overwrite").parquet(
+            os.path.join(self.root, f"batch_id={batch_id}")
+        )
+
+    def read(self) -> DataFrame:
+        return self.spark.read.option("basePath", self.root).parquet(self.root + "/*")

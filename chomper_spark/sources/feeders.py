@@ -1,0 +1,111 @@
+"""File / table feeders — Spark-native analogues of the reference feeders.
+
+Reference inventory (SURVEY.md §2.1):
+  S2 ListFeeder   (chomper/feeders.py:47-60)   → list_feeder
+  S3 CsvFeeder    (chomper/feeders.py:63-88)   → csv_feeder
+  S4 JsonFeeder   (chomper/feeders.py:91-115)  → json_feeder
+  S5 JsonLines    (chomper/feeders.py:118-134) → jsonlines_feeder
+  S6 TableFeeder  (chomper/contrib/sql/feeders.py:17-41) → table_feeder
+  S7 QueryFeeder  (chomper/contrib/sql/feeders.py:44-57) → query_feeder
+
+Scheme dispatch (S1/S12, chomper/readers.py:16-49) is Spark's Hadoop FS
+layer (file:// s3a:// hdfs:// work in any path).  The reference's
+per-row arity check raising ItemNotImportable (chomper/feeders.py:82-88)
+maps to Spark's PERMISSIVE/DROPMALFORMED corrupt-record policy — bad
+rows are quarantined, not fatal, matching importers.py:103-105.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def list_feeder(
+    spark: SparkSession, items: Iterable[dict], schema: T.StructType | str | None = None
+) -> DataFrame:
+    """In-memory rows → DataFrame (S2)."""
+    items = list(items)
+    if schema is None:
+        return spark.createDataFrame(items)
+    return spark.createDataFrame(items, schema=schema)
+
+
+def csv_feeder(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    schema: T.StructType | str | None = None,
+    skip: int = 0,
+    delimiter: str = ",",
+    quotechar: str = '"',
+    drop_malformed: bool = True,
+    header: bool = False,
+) -> DataFrame:
+    """CSV with user-supplied columns, skip-N header, delimiter/quote opts (S3).
+
+    The reference zips user ``columns`` with values and raises on arity
+    mismatch (chomper/feeders.py:63-88); here malformed rows are dropped
+    (DROPMALFORMED) or kept with nulls (PERMISSIVE).
+    """
+    reader = (
+        spark.read.option("sep", delimiter)
+        .option("quote", quotechar)
+        .option("header", str(header).lower())
+        .option("mode", "DROPMALFORMED" if drop_malformed else "PERMISSIVE")
+    )
+    if skip:
+        reader = reader.option("skipRows", skip)
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.csv(path)
+    if columns and not header and schema is None:
+        df = df.toDF(*columns)
+    return df
+
+
+def json_feeder(spark: SparkSession, path: str, schema: T.StructType | str | None = None) -> DataFrame:
+    """Whole-document JSON: object or array of objects (S4)."""
+    reader = spark.read.option("multiLine", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def jsonlines_feeder(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    corrupt_col: str | None = None,
+) -> DataFrame:
+    """NDJSON, one item per line; bad lines quarantined (S5).
+
+    ``corrupt_col`` names a column that captures unparseable lines
+    (reference: bad line → ItemNotImportable, chomper/feeders.py:128-134).
+    """
+    reader = spark.read
+    if corrupt_col:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+        if schema is not None and isinstance(schema, T.StructType):
+            schema = T.StructType(schema.fields + [T.StructField(corrupt_col, T.StringType())])
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def table_feeder(spark: SparkSession, table_or_path: str) -> DataFrame:
+    """Full-table scan (S6).  The reference chunks 100 rows at a time to
+    bound memory (chomper/contrib/sql/feeders.py:22); Spark's partitioned
+    scan is the set-oriented equivalent — chunking is the task split."""
+    if "/" in table_or_path or table_or_path.endswith(".parquet"):
+        return spark.read.parquet(table_or_path)
+    return spark.table(table_or_path)
+
+
+def query_feeder(spark: SparkSession, sql: str) -> DataFrame:
+    """Run a recorded query (S7).  The reference records a deferred
+    Signature list and replays it (chomper/support/replay.py:48-71);
+    Spark SQL text → unresolved logical plan is the same split."""
+    return spark.sql(sql)

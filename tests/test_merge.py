@@ -1,0 +1,156 @@
+"""MERGE apply engine vs the pandas reference applier.
+
+Mirrors the reference's upsert state-machine suite
+(tests/test_sql.py:99-210): row counts after mixed update/insert,
+no-overwrite-nulls-only, protected columns, listener firing — plus the
+north rule's deletes, out-of-order events, and idempotent replay.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from chomper_spark.operators.merge import SnapshotMergeSink
+from tests.helpers import assert_state_equals_oracle, ev, feed_df
+
+
+def test_single_batch_upsert_matches_oracle(spark, tmp_table):
+    events = [
+        ev("I", "c1", 0, 1),
+        ev("I", "c1", 1, 2),
+        ev("U", "c1", 0, 3, text="updated"),
+        ev("I", "c2", 0, 4, tool="browser"),
+        ev("D", "c1", 1, 5),
+        ev("U", "c3", 0, 6),  # update-on-missing → insert (upsert)
+    ]
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=4)
+    m = sink.apply_batch(feed_df(spark, events), batch_id=0)
+    assert m.events_in == 6 and m.merge_rows == 4 and m.dedup_drops == 2
+    assert m.inserted == 3  # c1/0 (latest U image), c2/0, c3/0
+    assert_state_equals_oracle(sink.read(), events)
+
+
+def test_multi_batch_with_cross_batch_out_of_order(spark, tmp_table):
+    # batch 0 applies seq 10; batch 1 carries an OLDER event (seq 5)
+    # for the same key — must NOT overwrite.
+    b0 = [ev("I", "c1", 0, 10, text="newer")]
+    b1 = [ev("U", "c1", 0, 5, text="stale"), ev("I", "c2", 0, 6)]
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=4)
+    sink.apply_batch(feed_df(spark, b0), 0)
+    sink.apply_batch(feed_df(spark, b1), 1)
+    assert_state_equals_oracle(sink.read(), b0 + b1)
+    texts = {r["conv_id"]: r["text"] for r in sink.read().collect()}
+    assert texts["c1"] == "newer"
+
+
+def test_delete_tombstone_blocks_late_event(spark, tmp_table):
+    b0 = [ev("I", "c1", 0, 1), ev("D", "c1", 0, 9)]
+    b1 = [ev("U", "c1", 0, 5, text="late, pre-delete")]  # older than the D
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=2)
+    sink.apply_batch(feed_df(spark, b0), 0)
+    sink.apply_batch(feed_df(spark, b1), 1)
+    assert sink.read().count() == 0
+    assert_state_equals_oracle(sink.read(), b0 + b1)
+
+
+def test_reinsert_after_delete(spark, tmp_table):
+    b0 = [ev("I", "c1", 0, 1), ev("D", "c1", 0, 2)]
+    b1 = [ev("I", "c1", 0, 3, text="resurrected")]
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=2)
+    sink.apply_batch(feed_df(spark, b0), 0)
+    sink.apply_batch(feed_df(spark, b1), 1)
+    rows = sink.read().collect()
+    assert len(rows) == 1 and rows[0]["text"] == "resurrected"
+    assert_state_equals_oracle(sink.read(), b0 + b1)
+
+
+def test_idempotent_replay_same_batch_id_skipped(spark, tmp_table):
+    events = [ev("I", "c1", 0, 1), ev("U", "c1", 0, 2)]
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=2)
+    m0 = sink.apply_batch(feed_df(spark, events), 0)
+    m1 = sink.apply_batch(feed_df(spark, events), 0)  # replay
+    assert not m0.skipped and m1.skipped
+    assert sink.read().count() == 1
+    assert_state_equals_oracle(sink.read(), events)
+
+
+def test_replay_with_new_batch_id_still_converges(spark, tmp_table):
+    # even if the ledger is bypassed (new batch id, same events), the
+    # latest-wins merge is idempotent.
+    events = [ev("I", "c1", 0, 1), ev("D", "c2", 0, 2), ev("I", "c3", 3, 3)]
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=2)
+    sink.apply_batch(feed_df(spark, events), 0)
+    before = sink.read().toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    sink.apply_batch(feed_df(spark, events), 1)
+    after = sink.read().toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)
+
+
+def test_update_only_nulls_mode(spark, tmp_table):
+    # E9 .overwrite(False): matched rows only fill target-NULL columns
+    # (reference tests/test_sql.py:167-175).
+    b0 = [ev("I", "c1", 0, 1, tool=None, text="orig")]
+    b1 = [ev("U", "c1", 0, 2, tool="browser", text="SHOULD NOT WIN")]
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=2)
+    sink.apply_batch(feed_df(spark, b0), 0)
+    sink.apply_batch(feed_df(spark, b1), 1, update_only_nulls=True)
+    row = sink.read().collect()[0]
+    assert row["text"] == "orig" and row["tool"] == "browser"
+    assert_state_equals_oracle(sink.read(), b0 + b1, update_only_nulls=True)
+
+
+def test_update_only_missing_not_inserted(spark, tmp_table):
+    # E3 Updater: no insert-if-missing (chomper/contrib/postgres.py:184-259).
+    b0 = [ev("I", "c1", 0, 1)]
+    b1 = [ev("U", "c1", 0, 2, text="upd"), ev("U", "c9", 0, 3)]
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=2)
+    sink.apply_batch(feed_df(spark, b0), 0)
+    sink.apply_batch(feed_df(spark, b1), 1, insert_missing=False)
+    rows = {r["conv_id"]: r for r in sink.read().collect()}
+    assert set(rows) == {"c1"} and rows["c1"]["text"] == "upd"
+
+
+def test_protected_columns_never_updated(spark, tmp_table):
+    # E11 protected columns (chomper/contrib/sql/exporters.py:50-54).
+    b0 = [ev("I", "c1", 0, 1, role="user")]
+    b1 = [ev("U", "c1", 0, 2, role="assistant", text="upd")]
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=2)
+    sink.apply_batch(feed_df(spark, b0), 0)
+    sink.apply_batch(feed_df(spark, b1), 1, protected=("role",))
+    row = sink.read().collect()[0]
+    assert row["role"] == "user" and row["text"] == "upd"
+    assert_state_equals_oracle(sink.read(), b0 + b1, protected=("role",))
+
+
+def test_change_listener_counts(spark, tmp_table):
+    # E6 on_insert/on_update/on_<field>_change as per-batch counts
+    # (chomper/contrib/postgres.py:395-444; tests/test_sql.py:177-210).
+    b0 = [ev("I", "c1", 0, 1, text="a"), ev("I", "c2", 0, 2, text="b")]
+    b1 = [
+        ev("U", "c1", 0, 3, text="a2"),      # text changes
+        ev("U", "c2", 0, 4, text="b"),       # no-op update: text unchanged
+        ev("I", "c3", 0, 5),                  # insert
+        ev("D", "c2", 0, 6),                  # wait — dedup keeps only latest per key
+    ]
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=2)
+    sink.apply_batch(feed_df(spark, b0), 0)
+    m = sink.apply_batch(feed_df(spark, b1), 1, listen_fields=("text", "role"))
+    # c2's latest event is the D, so the U never lands: 1 update, 1 insert, 1 delete
+    assert (m.inserted, m.updated, m.deleted) == (1, 1, 1)
+    assert m.field_changes == {"text": 1, "role": 0}
+    assert_state_equals_oracle(sink.read(), b0 + b1)
+
+
+def test_untouched_buckets_carried_forward(spark, tmp_table):
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=16)
+    b0 = [ev("I", f"c{i}", 0, i) for i in range(1, 33)]
+    sink.apply_batch(feed_df(spark, b0), 0)
+    man0 = sink.current_manifest()
+    b1 = [ev("U", "c1", 0, 100, text="only one key")]
+    m = sink.apply_batch(feed_df(spark, b1), 1)
+    man1 = sink.current_manifest()
+    assert m.buckets_touched == 1
+    # every untouched bucket still points at the snapshot-0 files
+    same = [k for k in man0["buckets"] if man0["buckets"][k] == man1["buckets"][k]]
+    assert len(same) == len(man0["buckets"]) - 1
+    assert_state_equals_oracle(sink.read(), b0 + b1)
