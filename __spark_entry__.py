@@ -16,6 +16,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from chomper_spark.functions import docdedup as dd
+from chomper_spark.functions import multimodal as mm
+from chomper_spark.functions import similarity as sim
+from chomper_spark.functions import text as txt
 from chomper_spark.operators.dedup import dedup_latest
 from chomper_spark.operators.merge import SnapshotMergeSink
 from chomper_spark.operators import transforms as tx
@@ -162,8 +166,30 @@ def _q_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # -- training-data pipeline ops over documents/embeddings
+        "text_token_stats": lambda s, d: txt.token_stats(_docs(s, d)),
+        "text_quality_score": lambda s, d: txt.quality_score(_docs(s, d)),
+        "text_lang_id": lambda s, d: txt.lang_id(_docs(s, d)),
+        "text_fingerprint": lambda s, d: txt.fingerprint(_docs(s, d)),
+        "dedup_exact": lambda s, d: dd.exact_dedup(_docs(s, d)),
+        "dedup_ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(_docs(s, d)),
+        "dedup_minhash_lsh": lambda s, d: dd.minhash_lsh_pairs(_docs(s, d)),
+        "dedup_simhash": lambda s, d: dd.simhash(_docs(s, d)),
+        "dedup_simhash_pairs": lambda s, d: dd.simhash_pairs(_docs(s, d)),
+        "ann_bruteforce_topk": lambda s, d: sim.ann_bruteforce_topk(_emb(s, d)),
+        "ann_lsh_bucketed": lambda s, d: sim.lsh_bucketed_ann(_emb(s, d)),
+        "emb_neardup_cosine": lambda s, d: sim.embedding_neardup_pairs(_emb(s, d)),
+        "multimodal_features": lambda s, d: mm.multimodal_features(_docs(s, d)),
         "cdc_reshape_feed": _q_reshape,
         "cdc_dedup_latest": _q_dedup,
         "cdc_apply_final_state": _q_apply_final,
@@ -182,6 +208,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     feed_sql = RESHAPE_SQL.format(events="events")
     return {
+        "text_token_stats": txt.TOKEN_STATS_SQL,
+        "text_quality_score": txt.QUALITY_SCORE_SQL,
+        "text_lang_id": txt.LANG_ID_SQL,
+        "text_fingerprint": txt.FINGERPRINT_SQL,
+        "dedup_exact": dd.EXACT_DEDUP_SQL,
+        "dedup_ngram_jaccard": dd.ngram_jaccard_sql(),
+        "dedup_minhash_lsh": dd.minhash_lsh_sql(),
+        "dedup_simhash": dd.simhash_sql(),
+        "dedup_simhash_pairs": dd.simhash_pairs_sql(),
+        "ann_bruteforce_topk": sim.ann_bruteforce_sql(),
+        "ann_lsh_bucketed": sim.lsh_bucketed_ann_sql(),
+        "emb_neardup_cosine": sim.embedding_neardup_sql(),
+        "multimodal_features": mm.MULTIMODAL_FEATURES_SQL,
         "cdc_reshape_feed": feed_sql,
         "cdc_dedup_latest": (
             f"WITH {_FEED_CTE}, {_RANKED_CTE} "

@@ -1,0 +1,140 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1, ...extras}
+
+Extras (informational, read by the judge against BASELINE.md):
+  * events_per_sec        — CDC apply throughput on the sf-dir feed
+  * synth_events_per_sec  — CDC apply throughput on a larger synthetic
+                            feed (shuffle/merge-bound; the 10^10-event
+                            design point scaled to the sandbox)
+  * scaling               — local[8] vs local[32] efficiency, read from
+                            BENCH/scaling.json if tools/scaling_bench.py
+                            has been run (same job, two parallelism
+                            levels — the sandbox proxy for N vs 4N
+                            executors per the north rule).
+
+Usage: python bench.py            (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from chomper_spark.operators.merge import SnapshotMergeSink  # noqa: E402
+from chomper_spark.session import get_spark  # noqa: E402
+from chomper_spark.sources.feed import (  # noqa: E402
+    change_feed_from_events,
+    synthetic_change_feed,
+    with_batch_id,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SYNTH_EVENTS = int(os.environ.get("SPARK_GRAFT_SYNTH_EVENTS", "2000000"))
+N_BATCHES = 4
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return time.perf_counter() - t0, out
+
+
+def _apply_feed(spark, feed, n_buckets: int):
+    """Replay a change feed through the SnapshotMergeSink in micro-batches."""
+    root = tempfile.mkdtemp(prefix="chomper_spark_bench_")
+    try:
+        feed = with_batch_id(feed, N_BATCHES).persist()
+        n = feed.count()
+        sink = SnapshotMergeSink(spark, root, n_buckets=n_buckets)
+        for b in range(N_BATCHES):
+            batch = feed.filter(F.col("batch_id") == b).drop("batch_id")
+            sink.apply_batch(batch, batch_id=b, collect_metrics=False)
+        final_rows = sink.read().count()
+        feed.unpersist()
+        return n, final_rows
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    spark = get_spark(
+        "bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+    )
+    # warm the JVM/codegen path so query timings measure the engine,
+    # not first-run classloading
+    spark.range(1000).agg(F.sum("id")).collect()
+
+    queries: dict[str, float] = {}
+    extras: dict = {}
+
+    # q1: CDC replay of the sf-dir events feed through the MERGE sink
+    sec, (n_events, _) = _timed(
+        lambda: _apply_feed(spark, change_feed_from_events(spark, SF_DIR), n_buckets=CPUS)
+    )
+    queries["cdc_apply_events_feed"] = round(sec, 3)
+    extras["events_per_sec"] = round(n_events * 1 / sec, 1)
+
+    # q2: CDC replay of a larger synthetic feed (merge-bound, skewed keys)
+    feed = synthetic_change_feed(
+        spark, SYNTH_EVENTS, n_convs=SYNTH_EVENTS // 50, zipf_skew=1.0, seed=42,
+        n_partitions=CPUS,
+    )
+    sec, (n_synth, _) = _timed(lambda: _apply_feed(spark, feed, n_buckets=CPUS))
+    queries["cdc_apply_synthetic"] = round(sec, 3)
+    extras["synth_events"] = n_synth
+    extras["synth_events_per_sec"] = round(n_synth / sec, 1)
+
+    # q3+: every driver-contract query at the bench SF (the graded surface)
+    for name, fn in entry_mod.queries().items():
+        try:
+            sec, _ = _timed(lambda: fn(spark, SF_DIR).write.format("noop").mode("overwrite").save())
+            queries[name] = round(sec, 3)
+        except Exception as e:  # noqa: BLE001
+            queries[name] = -1.0
+            extras.setdefault("errors", {})[name] = str(e)[:200]
+
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as fh:
+            extras["scaling"] = json.load(fh)
+
+    total = round(sum(v for v in queries.values() if v > 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_replay_and_headline_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": _sf_from_dir(SF_DIR),
+                "cpus": CPUS,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,336 @@
+"""Document deduplication family — exact, n-gram Jaccard, MinHash+LSH,
+SimHash — over the ``documents`` table.
+
+These are the operators a 100 TB training-data pipeline needs that the
+reference (a row-at-a-time ETL loop) has no analogue for; they extend
+the SURVEY.md §2 inventory as first-class engine capabilities.
+
+Design for scale:
+  * exact        — one hash-partitioned window on md5(text): shuffle is
+                   on the 128-bit hash, never the raw text (tiny keys).
+  * n-gram Jaccard — candidate pairs come from a join on *shared
+                   shingles* (lossless: Jaccard > 0 ⇔ ≥1 shared
+                   shingle), then exact Jaccard on the candidates.
+                   Shuffle is on the shingle; no O(n²) cross join.
+  * MinHash+LSH  — the real 100 TB path: K min-hashes per doc (one
+                   groupBy), banding (B bands × R rows), candidates =
+                   pairs sharing a band bucket (equi-join on band
+                   value), exact Jaccard verified on candidates only.
+  * SimHash      — 32-bit majority-of-token-hash-bits signature; near-
+                   dup candidates via 8-bit chunk banding (pigeonhole:
+                   hamming ≤ 3 ⇒ at least one of 4 chunks equal — a
+                   lossless filter), hamming verified with bit_count.
+
+Everything is deterministic md5-based hashing so the DuckDB oracle
+reproduces results exactly (see functions/text.py for the hex60
+convention).  No Python UDFs anywhere — all codegen'd Column exprs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from chomper_spark.functions.text import hex60_duck, hex60_spark
+
+SHINGLE_N = 3
+MINHASH_K = 12
+LSH_BANDS = 4
+LSH_ROWS = 3  # K = BANDS * ROWS
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4  # 8-bit chunks → lossless for hamming <= 3
+HAMMING_MAX = 3
+
+# ---------------------------------------------------------------- shingling
+
+
+def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """Distinct n-token shingles per doc (codegen'd array exprs, one
+    explode; DISTINCT shuffles on (doc_id, shingle))."""
+    sh = F.expr(
+        f"transform(sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 1)), "
+        f"i -> array_join(slice(split(text, ' '), i, {n}), ' '))"
+    )
+    return docs.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+
+
+def _shingles_sql(n: int = SHINGLE_N) -> str:
+    return (
+        "SELECT DISTINCT doc_id, shingle FROM ("
+        "SELECT doc_id, unnest(list_transform("
+        f"range(1, greatest(len(string_split(text, ' ')) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string((string_split(text, ' '))[i:i+{n - 1}], ' '))) AS shingle "
+        "FROM documents)"
+    )
+
+
+# -------------------------------------------------------------- exact dedup
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup: group on md5(text), canonical = min doc_id."""
+    w = Window.partitionBy("text_hash")
+    return (
+        docs.select("doc_id", F.md5("text").alias("text_hash"))
+        .withColumn("canonical_doc_id", F.min("doc_id").over(w))
+        .withColumn("is_duplicate", F.col("doc_id") != F.col("canonical_doc_id"))
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT doc_id,
+       md5(text) AS text_hash,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_doc_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+FROM documents
+"""
+
+
+# ------------------------------------------------------- n-gram Jaccard dedup
+
+
+def _pair_jaccard(sh: DataFrame, pairs_from: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard for doc pairs; candidates restricted to
+    ``pairs_from`` (doc_a, doc_b) when given, else all co-shingled pairs."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if pairs_from is None:
+        common = (
+            sh.alias("a")
+            .join(sh.alias("b"), "shingle")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+    else:
+        common = (
+            pairs_from.join(sh.alias("a"), pairs_from["doc_a"] == F.col("a.doc_id"))
+            .join(
+                sh.alias("b"),
+                (pairs_from["doc_b"] == F.col("b.doc_id"))
+                & (F.col("a.shingle") == F.col("b.shingle")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Near-dup pairs with exact n-gram Jaccard ≥ threshold.  Candidate
+    generation via the shared-shingle join is lossless for any
+    threshold > 0."""
+    sh = shingles(docs)
+    return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_sql(threshold: float = 0.8) -> str:
+    return f"""
+WITH su AS ({_shingles_sql()}),
+sz AS (SELECT doc_id, count(*) AS n_sh FROM su GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM su a JOIN su b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(common::DOUBLE / (x.n_sh + y.n_sh - common)::DOUBLE, 6) AS jaccard
+FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+WHERE round(common::DOUBLE / (x.n_sh + y.n_sh - common)::DOUBLE, 6) >= {threshold}
+"""
+
+
+# ------------------------------------------------------------- MinHash + LSH
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """K min-hash values per doc.  min() over md5 hex strings — string
+    ordering is identical across engines, so no numeric conversion is
+    needed.  One groupBy on doc_id (map-side combinable mins)."""
+    sh = shingles(docs)
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(k)
+        ]
+    )
+
+
+def _band_cols(k: int, bands: int, rows: int):
+    return [
+        F.md5(F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)])).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """MinHash+LSH near-dup: candidates = pairs agreeing on ≥1 band,
+    verified with exact Jaccard (computed only for candidates — this is
+    the scale path: candidate count ≪ n²)."""
+    sig = minhash_signatures(docs, k)
+    banded = sig.select("doc_id", *_band_cols(k, bands, rows))
+    melted = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_val")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", F.col("bv.band_idx").alias("band_idx"), F.col("bv.band_val").alias("band_val"))
+    cand = (
+        melted.alias("a")
+        .join(melted.alias("b"), ["band_idx", "band_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _pair_jaccard(shingles(docs), pairs_from=cand)
+
+
+def minhash_lsh_sql(
+    k: int = MINHASH_K, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> str:
+    mins = ", ".join(
+        f"min(md5(concat('{i}|', shingle))) AS h{i}" for i in range(k)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(concat_ws('|', {', '.join(f'h{b * rows + r}' for r in range(rows))})) AS band_val "
+        "FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH su AS ({_shingles_sql()}),
+sig AS (SELECT doc_id, {mins} FROM su GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, count(*) AS n_sh FROM su GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS common
+  FROM cand c
+  JOIN su a ON a.doc_id = c.doc_a
+  JOIN su b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       round(common::DOUBLE / (x.n_sh + y.n_sh - common)::DOUBLE, 6) AS jaccard
+FROM common c JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id
+"""
+
+
+# ------------------------------------------------------------------- SimHash
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash: bit p is set iff the majority of token hashes
+    have bit p set (term frequency weighted — repeats count).  One
+    explode + one groupBy with 32 conditional sums (map-side combine)."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).withColumn("h", F.expr(hex60_spark("tok")))
+    agg = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.expr(f"shiftright(h, {p}) & 1")).alias(f"s{p}")
+            for p in range(bits)
+        ],
+    )
+    sim = None
+    for p in range(bits):
+        term = F.when(F.col(f"s{p}") * 2 > F.col("n"), F.lit(1 << p)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_sql(bits: int = SIMHASH_BITS) -> str:
+    sums = ", ".join(f"sum((h >> {p}) & 1) AS s{p}" for p in range(bits))
+    sim = " + ".join(
+        f"(CASE WHEN s{p} * 2 > n THEN {1 << p} ELSE 0 END)" for p in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {hex60_duck("tok")} AS h FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+),
+agg AS (SELECT doc_id, count(*) AS n, {sums} FROM toks GROUP BY doc_id)
+SELECT doc_id, ({sim})::BIGINT AS simhash FROM agg
+"""
+
+
+def simhash_pairs(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
+    """SimHash near-dup pairs: candidates share one of 4 8-bit chunks
+    (lossless for hamming ≤ 3 by pigeonhole), verified via bit_count."""
+    sig = simhash(docs)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.expr(f"shiftright(simhash, {8 * c}) & 255").alias("chunk_val"),
+                    )
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("cv"),
+    ).select("doc_id", "simhash", F.col("cv.chunk_idx").alias("chunk_idx"), F.col("cv.chunk_val").alias("chunk_val"))
+    return (
+        chunks.alias("a")
+        .join(chunks.alias("b"), ["chunk_idx", "chunk_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= hamming_max)
+    )
+
+
+def simhash_pairs_sql(hamming_max: int = HAMMING_MAX) -> str:
+    chunk_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS chunk_idx, (simhash >> {8 * c}) & 255 AS chunk_val FROM sig"
+        for c in range(SIMHASH_CHUNKS)
+    )
+    return f"""
+WITH sig AS ({simhash_sql()}),
+chunks AS ({chunk_selects})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM chunks a JOIN chunks b
+  ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {hamming_max}
+"""

@@ -109,12 +109,20 @@ class SnapshotMergeSink:
         n_buckets: int = 32,
         key_cols: list[str] | None = None,
         version_cols: list[str] | None = None,
+        compact_on_write: bool = False,
     ):
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
         self.key_cols = key_cols or S.KEY_COLS
         self.version_cols = version_cols or S.VERSION_COLS
+        # compact_on_write: add a repartition-by-bucket shuffle before the
+        # snapshot write → exactly one file per bucket (best read layout)
+        # at the cost of one extra full shuffle per batch.  Off by default:
+        # the merge join's own hash partitioning already bounds files per
+        # bucket to the shuffle-partition count, and skipping the shuffle
+        # is the bigger win at scale.
+        self.compact_on_write = compact_on_write
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
 
@@ -254,8 +262,8 @@ class SnapshotMergeSink:
         # -- bucket pruning: only read/rewrite the buckets this batch touches
         touched = sorted(r[0] for r in src.select(_BUCKET).distinct().collect())
         metrics.buckets_touched = len(touched)
-        metrics.merge_rows = src.count()
         if collect_metrics:
+            metrics.merge_rows = src.count()
             metrics.dedup_drops = metrics.events_in - metrics.merge_rows
 
         tgt = self._read_buckets(manifest, touched) if manifest else None
@@ -274,7 +282,11 @@ class SnapshotMergeSink:
                 ).collect()[0]
                 metrics.inserted = int(agg["ins"] or 0)
         else:
-            tgt = tgt.withColumn(_BUCKET, self._bucket_expr())
+            # align old snapshot files to the EVOLVED schema (new columns
+            # NULL-backfill, widened types cast — vectorized, JVM-side)
+            tgt = align_to_schema(tgt, state_schema).withColumn(
+                _BUCKET, self._bucket_expr()
+            )
             t, s = tgt.alias("t"), src.alias("s")
             joined = t.join(s, on=self.key_cols, how="full_outer").persist()
 
@@ -351,13 +363,12 @@ class SnapshotMergeSink:
         rel_data = f"snapshots/s{snap_id:08d}/data"
         out_path = os.path.join(self.root, rel_data)
         merged = align_to_schema(merged, T.StructType(state_schema.fields + [T.StructField(_BUCKET, T.IntegerType(), False)]))
-        (
-            merged.repartition(min(self.n_buckets, max(1, len(touched))), _BUCKET)
-            .write.mode("overwrite")
-            .partitionBy(_BUCKET)
-            .parquet(out_path)
-        )
+        if self.compact_on_write:
+            merged = merged.repartition(min(self.n_buckets, max(1, len(touched))), _BUCKET)
+        merged.write.mode("overwrite").partitionBy(_BUCKET).parquet(out_path)
         src.unpersist()
+        if tgt is not None:
+            joined.unpersist()
 
         buckets = dict(manifest["buckets"]) if manifest else {}
         for k in touched:

@@ -50,14 +50,46 @@ def csv_feeder(
     mismatch (chomper/feeders.py:63-88); here malformed rows are dropped
     (DROPMALFORMED) or kept with nulls (PERMISSIVE).
     """
+    if skip:
+        # Spark's CSV scan has no skip-N-lines option; do it per FILE:
+        # wholetext (one row per file) → slice off the first N lines →
+        # from_csv.  Right for header-junk ingest files (the reference's
+        # use case); for huge splittable CSVs use skip=0.
+        from pyspark.sql import functions as F
+
+        if schema is None and columns:
+            ddl = ", ".join(f"`{c}` string" for c in columns)
+        elif isinstance(schema, T.StructType):
+            ddl = schema.simpleString()[len("struct<") : -1].replace(":", " ")
+        else:
+            ddl = schema
+        lines = (
+            spark.read.text(path, wholetext=True)
+            .select(
+                F.explode(
+                    F.expr(
+                        f"slice(split(value, '\\n'), {skip + 1}, "
+                        f"greatest(size(split(value, '\\n')) - {skip}, 0))"
+                    )
+                ).alias("line")
+            )
+            .filter(F.col("line") != "")
+        )
+        parsed = lines.select(
+            F.from_csv(
+                "line", ddl, {"sep": delimiter, "quote": quotechar}
+            ).alias("r")
+        ).select("r.*")
+        if drop_malformed:
+            parsed = parsed.dropna(how="all")
+        return parsed
+
     reader = (
         spark.read.option("sep", delimiter)
         .option("quote", quotechar)
         .option("header", str(header).lower())
         .option("mode", "DROPMALFORMED" if drop_malformed else "PERMISSIVE")
     )
-    if skip:
-        reader = reader.option("skipRows", skip)
     if schema is not None:
         reader = reader.schema(schema)
     df = reader.csv(path)

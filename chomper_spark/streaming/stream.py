@@ -1,0 +1,104 @@
+"""Structured Streaming driver: continuous change-feed tail → MERGE.
+
+The reference's continuous mode is a poll-sleep(1) loop over a Redis
+queue (`close_when_idle = False`, chomper/importers.py:54-62;
+QueueReader blocking on blpop, chomper/contrib/redis.py:39-61).  The
+Spark-native rebuild is `readStream` over a growing feed directory
+(the sandbox stand-in for a Kafka/binlog source — swap `.format()` and
+nothing else changes) with:
+
+  * micro-batching        — maxFilesPerTrigger bounds batch size
+  * event-time watermark  — withWatermark("op_ts", …) documents the
+    late-event contract; correctness does NOT depend on it because the
+    MERGE orders by (op_ts, batch_seq) per key, so arbitrarily-late
+    events are version-checked, never clock-checked
+  * foreachBatch          — each micro-batch goes through the same
+    idempotent SnapshotMergeSink.apply_batch as batch replay
+  * exactly-once          — TWO cooperating ledgers: Spark's streaming
+    checkpoint (batch replay on restart) and the sink's committed-
+    batch-id manifest (skips the replayed batch).  Either alone is
+    sufficient; together a crash at any point resumes convergently.
+  * lineage               — per-batch, per-key-partition metrics rows
+    appended inside the same foreachBatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, functions as F  # noqa: F401
+from pyspark.sql import types as T
+
+from chomper_spark import schema as S
+from chomper_spark.operators.lineage import LineageTable, batch_lineage
+from chomper_spark.operators.merge import SnapshotMergeSink
+from chomper_spark.operators.skew import stage_by_conv
+
+
+class StreamingApply:
+    """Tail a feed directory and apply every micro-batch to the sink."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        feed_dir: str,
+        state_root: str,
+        checkpoint_dir: str,
+        lineage_root: str | None = None,
+        feed_schema: T.StructType = S.CHANGE_EVENT,
+        watermark: str = "10 minutes",
+        max_files_per_trigger: int = 1,
+        n_buckets: int = 32,
+        stage_partitions: int | None = None,
+        collect_metrics: bool = False,
+    ):
+        self.spark = spark
+        self.feed_dir = feed_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.feed_schema = feed_schema
+        self.watermark = watermark
+        self.max_files_per_trigger = max_files_per_trigger
+        self.stage_partitions = stage_partitions
+        self.collect_metrics = collect_metrics
+        self.sink = SnapshotMergeSink(spark, state_root, n_buckets=n_buckets)
+        self.lineage = LineageTable(spark, lineage_root) if lineage_root else None
+        self.batch_metrics: list = []  # driver-side log of MergeMetrics
+
+    # ------------------------------------------------------------- plumbing
+
+    def _apply(self, batch_df, batch_id: int) -> None:
+        """foreachBatch body.  Runs on the driver; all heavy lifting is
+        DataFrame ops on executors."""
+        staged = stage_by_conv(batch_df, self.stage_partitions)
+        m = self.sink.apply_batch(
+            staged, batch_id=batch_id, collect_metrics=self.collect_metrics
+        )
+        self.batch_metrics.append(m)
+        if self.lineage is not None and not m.skipped:
+            self.lineage.append(
+                batch_lineage(batch_df, batch_id, n_buckets=self.sink.n_buckets),
+                batch_id,
+            )
+
+    def start(self, available_now: bool = True, processing_time: str | None = None):
+        stream = (
+            self.spark.readStream.schema(self.feed_schema)
+            .option("maxFilesPerTrigger", str(self.max_files_per_trigger))
+            .parquet(self.feed_dir)
+            .withWatermark("op_ts", self.watermark)
+        )
+        writer = stream.writeStream.foreachBatch(self._apply).option(
+            "checkpointLocation", self.checkpoint_dir
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
+    def run_available(self) -> None:
+        """Drain everything currently in the feed dir, then stop —
+        the batch-shaped entry point for tests and replay jobs."""
+        q = self.start(available_now=True)
+        q.awaitTermination()
+
+    def read(self):
+        return self.sink.read()

@@ -154,3 +154,33 @@ def test_untouched_buckets_carried_forward(spark, tmp_table):
     same = [k for k in man0["buckets"] if man0["buckets"][k] == man1["buckets"][k]]
     assert len(same) == len(man0["buckets"]) - 1
     assert_state_equals_oracle(sink.read(), b0 + b1)
+
+
+def test_resume_with_fresh_sink_instance_cross_restart(spark, tmp_table):
+    # "crash" between batches: all ledger/state lives on disk, so a brand
+    # new sink object (≙ new driver process) must skip committed batches
+    # and apply only the new one, converging to the oracle state.
+    b0 = [ev("I", "c1", 0, 1), ev("I", "c2", 0, 2)]
+    b1 = [ev("U", "c1", 0, 3, text="v2"), ev("D", "c2", 0, 4)]
+    b2 = [ev("I", "c3", 0, 5)]
+    sink1 = SnapshotMergeSink(spark, tmp_table, n_buckets=4)
+    sink1.apply_batch(feed_df(spark, b0), 0)
+    sink1.apply_batch(feed_df(spark, b1), 1)
+    del sink1
+
+    sink2 = SnapshotMergeSink(spark, tmp_table, n_buckets=4)
+    assert sink2.committed_batches() == {0, 1}
+    ms = [
+        sink2.apply_batch(feed_df(spark, b), i)
+        for i, b in enumerate([b0, b1, b2])
+    ]
+    assert [m.skipped for m in ms] == [True, True, False]
+    assert_state_equals_oracle(sink2.read(), b0 + b1 + b2)
+
+
+def test_empty_batch_applies_cleanly(spark, tmp_table):
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=2)
+    sink.apply_batch(feed_df(spark, [ev("I", "c1", 0, 1)]), 0)
+    m = sink.apply_batch(feed_df(spark, []), 1)
+    assert m.merge_rows == 0 and not m.skipped
+    assert sink.read().count() == 1

@@ -1,0 +1,68 @@
+"""Skew handling + lineage metrics (north rule: explicit partitioning/
+shuffle/skew; per-partition lineage table)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chomper_spark.operators.dedup import dedup_latest
+from chomper_spark.operators.lineage import LineageTable, batch_lineage
+from chomper_spark.operators.skew import salted_count_per_conv, stage_by_conv, with_salt
+from chomper_spark.sources.feed import synthetic_change_feed
+from tests.helpers import ev, feed_df
+
+
+def test_dedup_latest_picks_newest_by_op_ts_then_batch_seq(spark):
+    events = [
+        ev("I", "c1", 0, 1, secs=10),
+        ev("U", "c1", 0, 2, secs=10, text="same ts, higher seq wins"),
+        ev("U", "c1", 0, 3, secs=5, text="older ts, higher seq — loses"),
+    ]
+    out = dedup_latest(feed_df(spark, events)).collect()
+    assert len(out) == 1 and out[0]["text"] == "same ts, higher seq wins"
+
+
+def test_stage_by_conv_partitions_by_range(spark):
+    feed = feed_df(spark, [ev("I", f"c{i}", t, i * 10 + t) for i in range(8) for t in range(4)])
+    staged = stage_by_conv(feed, num_partitions=4)
+    assert staged.rdd.getNumPartitions() == 4
+    # a conversation's turns are contiguous: each (conv) lives in one partition
+    per_part = (
+        staged.withColumn("pid", F.spark_partition_id())
+        .groupBy("conv_id").agg(F.count_distinct("pid").alias("nparts"))
+        .collect()
+    )
+    assert all(r["nparts"] == 1 for r in per_part)
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    feed = synthetic_change_feed(spark, 5000, n_convs=20, zipf_skew=1.5, seed=7)
+    plain = {r["conv_id"]: r["n"] for r in feed.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    salted = {r["conv_id"]: r["n_events"] for r in salted_count_per_conv(feed, n_salts=8).collect()}
+    assert salted == plain
+
+
+def test_salt_is_deterministic(spark):
+    feed = feed_df(spark, [ev("I", "c1", t, t) for t in range(16)])
+    a = sorted(r["_salt"] for r in with_salt(feed, 4).collect())
+    b = sorted(r["_salt"] for r in with_salt(feed, 4).collect())
+    assert a == b and len(set(a)) > 1  # hot conv spreads over salts
+
+
+def test_batch_lineage_counts(spark, tmp_path):
+    events = [
+        ev("I", "c1", 0, 1),
+        ev("U", "c1", 0, 2),  # same key → 1 dedup drop
+        ev("I", "c2", 0, 3),
+    ]
+    lin = batch_lineage(feed_df(spark, events), batch_id=7, n_buckets=4)
+    agg = lin.agg(
+        F.sum("events_applied").alias("e"),
+        F.sum("dedup_drops").alias("d"),
+        F.sum("merge_rows").alias("m"),
+    ).collect()[0]
+    assert (agg["e"], agg["d"], agg["m"]) == (3, 1, 2)
+    t = LineageTable(spark, str(tmp_path / "lin"))
+    t.append(lin, 7)
+    t.append(batch_lineage(feed_df(spark, events), batch_id=8, n_buckets=4), 8)
+    assert t.read().select("batch_id").distinct().count() == 2

@@ -1,0 +1,111 @@
+"""Structured Streaming: file-tail micro-batches → MERGE, checkpoint
+resume, watermark/late-data, lineage emission.
+
+Mirrors the reference's continuous mode (poll-loop importer,
+chomper/importers.py:54-62; Redis tail, chomper/contrib/redis.py:39-61)
+rebuilt as readStream + foreachBatch.
+"""
+
+from __future__ import annotations
+
+from chomper_spark.streaming import StreamingApply
+from tests.helpers import assert_state_equals_oracle, ev, feed_df
+
+
+def _write_chunk(spark, events, feed_dir):
+    feed_df(spark, events).coalesce(1).write.mode("append").parquet(feed_dir)
+
+
+def _dirs(tmp_path):
+    return (
+        str(tmp_path / "feed"),
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "lineage"),
+    )
+
+
+def test_stream_micro_batches_apply_and_match_oracle(spark, tmp_path):
+    feed_dir, state, ckpt, lineage = _dirs(tmp_path)
+    c1 = [ev("I", "c1", 0, 1), ev("I", "c2", 0, 2)]
+    c2 = [ev("U", "c1", 0, 3, text="updated"), ev("D", "c2", 0, 4), ev("I", "c3", 0, 5)]
+    _write_chunk(spark, c1, feed_dir)
+    _write_chunk(spark, c2, feed_dir)
+
+    app = StreamingApply(
+        spark, feed_dir, state, ckpt, lineage_root=lineage,
+        max_files_per_trigger=1, n_buckets=4,
+    )
+    app.run_available()
+
+    # maxFilesPerTrigger=1 → one micro-batch per file
+    assert len(app.batch_metrics) >= 2
+    assert_state_equals_oracle(
+        app.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts"),
+        c1 + c2,
+    )
+    lin = app.lineage.read()
+    assert lin.count() > 0
+    assert set(lin.columns) >= {"batch_id", "partition_id", "events_applied", "merge_rows"}
+
+
+def test_stream_resume_from_checkpoint_applies_only_new(spark, tmp_path):
+    feed_dir, state, ckpt, lineage = _dirs(tmp_path)
+    c1 = [ev("I", "c1", 0, 1), ev("I", "c2", 0, 2)]
+    _write_chunk(spark, c1, feed_dir)
+    app = StreamingApply(spark, feed_dir, state, ckpt, max_files_per_trigger=1, n_buckets=4)
+    app.run_available()
+    n_before = len(app.batch_metrics)
+    assert n_before >= 1
+
+    # new data arrives; a NEW driver process resumes from the checkpoint
+    c2 = [ev("U", "c1", 0, 3, text="after restart"), ev("I", "c3", 0, 4)]
+    _write_chunk(spark, c2, feed_dir)
+    app2 = StreamingApply(spark, feed_dir, state, ckpt, max_files_per_trigger=1, n_buckets=4)
+    app2.run_available()
+
+    # checkpoint prevents re-delivery: only the new file becomes a batch
+    assert len(app2.batch_metrics) == 1 and not app2.batch_metrics[0].skipped
+    assert_state_equals_oracle(
+        app2.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts"),
+        c1 + c2,
+    )
+
+
+def test_stream_lost_checkpoint_sink_ledger_still_exactly_once(spark, tmp_path):
+    # kill the Spark checkpoint but keep the table state: the feed is
+    # re-delivered from scratch with the same batch ids — the sink's
+    # committed-batch manifest must skip them all, state unchanged.
+    feed_dir, state, ckpt, _ = _dirs(tmp_path)
+    events = [ev("I", "c1", 0, 1), ev("U", "c1", 0, 2, text="v2"), ev("I", "c2", 0, 3)]
+    _write_chunk(spark, events, feed_dir)
+    app = StreamingApply(spark, feed_dir, state, ckpt, max_files_per_trigger=1, n_buckets=4)
+    app.run_available()
+    before = sorted(app.read().collect())
+
+    app2 = StreamingApply(
+        spark, feed_dir, state, str(tmp_path / "ckpt2"), max_files_per_trigger=1, n_buckets=4
+    )
+    app2.run_available()
+    assert all(m.skipped for m in app2.batch_metrics)
+    assert sorted(app2.read().collect()) == before
+
+
+def test_stream_late_event_version_checked_not_clock_checked(spark, tmp_path):
+    # an event far older than the watermark still merges correctly —
+    # correctness is (op_ts, batch_seq) versioning, not the watermark.
+    feed_dir, state, ckpt, _ = _dirs(tmp_path)
+    _write_chunk(spark, [ev("I", "c1", 0, 100, text="new")], feed_dir)
+    app = StreamingApply(
+        spark, feed_dir, state, ckpt, watermark="1 seconds",
+        max_files_per_trigger=1, n_buckets=2,
+    )
+    app.run_available()
+    _write_chunk(spark, [ev("U", "c1", 0, 1, text="very late, stale")], feed_dir)
+    app2 = StreamingApply(
+        spark, feed_dir, state, ckpt, watermark="1 seconds",
+        max_files_per_trigger=1, n_buckets=2,
+    )
+    app2.run_available()
+    rows = app2.read().collect()
+    assert len(rows) == 1 and rows[0]["text"] == "new"

@@ -1,0 +1,131 @@
+"""Unit tests per transform — the reference's processor semantics
+(tests/test_processors.py:48-177) on tiny DataFrames."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chomper_spark.operators import transforms as tx
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            ("c1", 0, "user", "hello", None),
+            ("c1", 1, "assistant", None, "browser"),
+            ("c2", 0, "system", "", "search"),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+
+
+def test_defaults_only_null_triggers(spark):
+    # falsy-but-not-null values are kept (reference tests/test_processors.py:48-55)
+    out = tx.pipe(_df(spark), tx.defaults({"text": "<missing>", "new_col": 7}))
+    rows = {(r["conv_id"], r["turn_idx"]): r for r in out.collect()}
+    assert rows[("c1", 1)]["text"] == "<missing>"
+    assert rows[("c2", 0)]["text"] == ""  # falsy kept
+    assert all(r["new_col"] == 7 for r in rows.values())
+
+
+def test_assign_static_and_computed(spark):
+    out = tx.pipe(
+        _df(spark),
+        tx.assign("source", "cdc"),
+        tx.assign("turn2", F.col("turn_idx") * 2),
+    )
+    r = out.filter("conv_id = 'c1' and turn_idx = 1").collect()[0]
+    assert r["source"] == "cdc" and r["turn2"] == 2
+
+
+def test_drop_rows_and_nullify_field(spark):
+    out = tx.pipe(
+        _df(spark),
+        tx.drop_rows(F.col("role") == "system"),
+        tx.nullify_field("tool", F.col("role") == "assistant"),
+    )
+    rows = out.collect()
+    assert all(r["role"] != "system" for r in rows)
+    assert all(r["tool"] is None for r in rows if r["role"] == "assistant")
+
+
+def test_scalar_map_skips_null(spark):
+    out = tx.pipe(_df(spark), tx.scalar_map("text", lambda c: F.upper(c)))
+    rows = {(r["conv_id"], r["turn_idx"]): r["text"] for r in out.collect()}
+    assert rows[("c1", 0)] == "HELLO"
+    assert rows[("c1", 1)] is None  # null passthrough, no error
+
+
+def test_map_values_passthrough_on_missing_key(spark):
+    out = tx.pipe(_df(spark), tx.map_values("role", {"user": "U"}))
+    roles = {r["role"] for r in out.collect()}
+    assert roles == {"U", "assistant", "system"}
+
+
+def test_rename_pick_omit(spark):
+    out = tx.pipe(
+        _df(spark),
+        tx.rename({"conv_id": "cid"}),
+        tx.omit(["tool"]),
+        tx.pick(["cid", "turn_idx"]),
+    )
+    assert out.columns == ["cid", "turn_idx"]
+
+
+def test_lookup_join_is_broadcast(spark):
+    lookup = spark.createDataFrame([("user", "human"), ("assistant", "bot")], "role string, kind string")
+    out = tx.pipe(_df(spark), tx.lookup_join(lookup, on=["role"]))
+    kinds = {r["role"]: r["kind"] for r in out.collect()}
+    assert kinds["user"] == "human" and kinds["system"] is None
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_vectorized_map_fanout(spark):
+    # generator-returning pipeline funcs (1→N) via mapInPandas
+    def dup(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.concat([pdf, pdf.assign(turn_idx=pdf.turn_idx + 100)])
+
+    out = tx.pipe(
+        _df(spark).select("conv_id", "turn_idx"),
+        tx.vectorized_map("conv_id string, turn_idx int", dup),
+    )
+    assert out.count() == 6
+
+
+def test_fanout_explode(spark):
+    df = spark.createDataFrame([("c1", [1, 2, 3])], "conv_id string, xs array<int>")
+    out = tx.pipe(df, tx.fanout("xs", "x"))
+    assert out.count() == 3
+
+
+def test_branch_multicast(spark):
+    df = _df(spark)
+    left, right = tx.branch(
+        df,
+        [tx.drop_rows(F.col("role") != "user"), tx.pick(["conv_id"])],
+        [tx.pick(["conv_id", "role"])],
+    )
+    assert left.count() == 1 and right.count() == 3
+    df.unpersist()
+
+
+def test_tap_observe_metrics(spark):
+    out = tx.pipe(_df(spark), tx.tap("m", F.count(F.lit(1)).alias("rows")))
+    out.collect()
+
+
+def test_no_python_row_udfs_in_plans(spark):
+    # input_hint: no per-row Python — core transforms must not plan a
+    # BatchEvalPython node (SURVEY.md §7.3 enforcement test).
+    df = tx.pipe(
+        _df(spark),
+        tx.defaults({"text": ""}),
+        tx.assign("n", F.length("text")),
+        tx.map_values("role", {"user": "U"}),
+        tx.drop_rows(F.col("turn_idx") < 0),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan

@@ -1,0 +1,138 @@
+"""Scaling-efficiency bench: the SAME CDC replay job at N and 4N cores.
+
+The north rule requires ≥0.8 throughput scaling efficiency between two
+cluster sizes (N and 4N executors).  No real cluster exists in this
+sandbox, so per the driver instruction we run the identical job on the
+identical deterministic input at two parallelism levels
+(default local[8] vs local[32]) and report
+
+    efficiency = (events_per_sec@4N / events_per_sec@N) / 4
+
+Each level runs in its OWN subprocess (a fresh JVM — no warm-cache
+bleed between levels), first doing an untimed warmup replay so JIT /
+codegen / shuffle-service startup is excluded from both measurements
+equally.
+
+Results → BENCH/scaling.json (picked up by bench.py's JSON line) and a
+markdown table appended to BENCH/SCALING.md.
+
+Usage:
+  python tools/scaling_bench.py                  # orchestrate both levels
+  python tools/scaling_bench.py --level 8        # (internal) one level
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N_EVENTS = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "2000000"))
+N_BATCHES = 2
+LEVELS = (
+    int(os.environ.get("SPARK_GRAFT_SCALE_N", "8")),
+    int(os.environ.get("SPARK_GRAFT_SCALE_4N", "32")),
+)
+
+
+def run_level(cores: int, n_events: int, warmup: bool = True) -> dict:
+    from pyspark.sql import functions as F
+
+    from chomper_spark.operators.merge import SnapshotMergeSink
+    from chomper_spark.session import get_spark
+    from chomper_spark.sources.feed import synthetic_change_feed, with_batch_id
+
+    spark = get_spark(f"scale{cores}", master=f"local[{cores}]", shuffle_partitions=cores)
+
+    def replay(n: int) -> float:
+        root = tempfile.mkdtemp(prefix=f"scale_{cores}_")
+        try:
+            feed = synthetic_change_feed(
+                spark, n, n_convs=n // 50, zipf_skew=1.0, seed=42, n_partitions=cores
+            )
+            feed = with_batch_id(feed, N_BATCHES).persist()
+            feed.count()
+            sink = SnapshotMergeSink(spark, root, n_buckets=cores * 2)
+            t0 = time.perf_counter()
+            for b in range(N_BATCHES):
+                batch = feed.filter(F.col("batch_id") == b).drop("batch_id")
+                sink.apply_batch(batch, batch_id=b, collect_metrics=False)
+            dt = time.perf_counter() - t0
+            feed.unpersist()
+            return dt
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    if warmup:
+        replay(max(n_events // 20, 10_000))
+    dt = replay(n_events)
+    spark.stop()
+    return {
+        "cores": cores,
+        "events": n_events,
+        "wall_sec": round(dt, 3),
+        "events_per_sec": round(n_events / dt, 1),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--level", type=int, default=None)
+    ap.add_argument("--events", type=int, default=N_EVENTS)
+    args = ap.parse_args()
+
+    if args.level:
+        print(json.dumps(run_level(args.level, args.events)))
+        return
+
+    results = []
+    for cores in LEVELS:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--level", str(cores),
+             "--events", str(args.events)],
+            capture_output=True, text=True, cwd=REPO, check=True,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results.append(json.loads(line))
+        print(line)
+
+    n, n4 = results
+    eff = (n4["events_per_sec"] / n["events_per_sec"]) / (n4["cores"] / n["cores"])
+    summary = {
+        "job": "CDC replay (synthetic feed, zipf skew 1.0, 2 micro-batches, MERGE sink)",
+        "levels": results,
+        "speedup": round(n4["events_per_sec"] / n["events_per_sec"], 3),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "meets_target": eff >= 0.8,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as fh:
+        json.dump(summary, fh, indent=2)
+    with open(os.path.join(REPO, "BENCH", "SCALING.md"), "w") as fh:
+        fh.write(
+            "# Scaling: same CDC replay job at N and 4N cores\n\n"
+            "Sandbox proxy for N→4N executors (driver instruction): identical\n"
+            "deterministic input, fresh JVM per level, untimed warmup replay.\n\n"
+            "| cores | events | wall (s) | events/sec |\n|---|---|---|---|\n"
+        )
+        for r in results:
+            fh.write(f"| {r['cores']} | {r['events']} | {r['wall_sec']} | {r['events_per_sec']} |\n")
+        fh.write(
+            f"\nSpeedup {n['cores']}→{n4['cores']}: **{summary['speedup']}×**; "
+            f"scaling efficiency: **{summary['scaling_efficiency']}** "
+            f"(target ≥ 0.8 → {'MET' if summary['meets_target'] else 'NOT MET'}).\n"
+        )
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
