@@ -154,6 +154,29 @@ def _q_tx_nullify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_surrogate_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feed = change_feed_from_events(spark, sf_dir)
+    return tx.pipe(
+        feed,
+        tx.assign_surrogate_id("row_id", ["conv_id", "turn_idx"]),
+        tx.pick(["batch_seq", "conv_id", "turn_idx", "row_id"]),
+    )
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    deduped = dedup_latest(change_feed_from_events(spark, sf_dir))
+    out = tx.pipe(deduped.select("conv_id", "turn_idx"), tx.sessionize(gap_turns=4))
+    return out.select(
+        "conv_id", "turn_idx", F.col("session_id").cast("long").alias("session_id")
+    )
+
+
+def _q_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chomper_spark.operators.skew import salted_count_per_conv
+
+    return salted_count_per_conv(change_feed_from_events(spark, sf_dir), n_salts=8)
+
+
 def _q_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -202,6 +225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_rename_pick_omit": _q_tx_rename_pick,
         "tx_nullify_field": _q_tx_nullify,
         "tx_lookup_join": _q_lookup_join,
+        "tx_surrogate_id": _q_surrogate_id,
+        "conv_sessionize": _q_sessionize,
+        "skew_salted_conv_counts": _q_salted_counts,
     }
 
 
@@ -267,5 +293,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, o_totalprice, c_name, c_mktsegment "
             "FROM orders LEFT JOIN customer ON o_custkey = c_custkey "
             "WHERE o_orderstatus = 'O'"
+        ),
+        "tx_surrogate_id": (
+            f"WITH {_FEED_CTE} "
+            "SELECT batch_seq, conv_id, turn_idx, "
+            + tx.surrogate_id_sql(["conv_id", "turn_idx"])
+            + " AS row_id FROM feed"
+        ),
+        "conv_sessionize": (
+            f"WITH {_FEED_CTE}, {_RANKED_CTE}, "
+            "dd AS (SELECT conv_id, turn_idx FROM ranked WHERE rn = 1), "
+            "g AS (SELECT conv_id, turn_idx, "
+            "CASE WHEN lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) IS NULL "
+            "OR turn_idx - lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) > 4 "
+            "THEN 1 ELSE 0 END AS is_new FROM dd) "
+            "SELECT conv_id, turn_idx, "
+            "CAST(sum(is_new) OVER (PARTITION BY conv_id ORDER BY turn_idx "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM g"
+        ),
+        "skew_salted_conv_counts": (
+            f"WITH {_FEED_CTE} "
+            "SELECT conv_id, count(*) AS n_events FROM feed GROUP BY conv_id"
         ),
     }

@@ -81,9 +81,13 @@ def main() -> None:
     spark = get_spark(
         "bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
     )
-    # warm the JVM/codegen path so query timings measure the engine,
-    # not first-run classloading
-    spark.range(1000).agg(F.sum("id")).collect()
+    # warm the JVM/codegen/shuffle path with a small untimed replay so
+    # query timings measure the engine, not first-run classloading
+    _apply_feed(
+        spark,
+        synthetic_change_feed(spark, 50_000, n_convs=1_000, seed=7, n_partitions=CPUS),
+        n_buckets=CPUS,
+    )
 
     queries: dict[str, float] = {}
     extras: dict = {}

@@ -183,11 +183,17 @@ class SnapshotMergeSink:
         return out
 
     def read_state(self) -> DataFrame | None:
-        """Full state including tombstones and version metadata."""
+        """Full state including tombstones and version metadata.
+        None only if the table was never created; an existing empty
+        table (e.g. just truncated) reads as an empty DataFrame."""
         m = self.current_manifest()
         if m is None:
             return None
-        return self._read_buckets(m, sorted(int(k) for k in m["buckets"]))
+        out = self._read_buckets(m, sorted(int(k) for k in m["buckets"]))
+        if out is None:
+            schema = T.StructType.fromJson(json.loads(m["schema"]))
+            return self.spark.createDataFrame([], schema=schema)
+        return out
 
     def read(self) -> DataFrame | None:
         """User-facing table: live rows, user columns only."""
@@ -387,6 +393,35 @@ class SnapshotMergeSink:
             }
         )
         return metrics
+
+    def truncate(self, batch_id: int | None = None) -> None:
+        """TRUNCATE (E4 PostgresTruncator, chomper/contrib/postgres.py:262-292;
+        E10 sql Truncator, chomper/contrib/sql/exporters.py:325-333):
+        atomically flip to an empty snapshot — the full-refresh precursor
+        pattern (examples/companies.py:13).  The batch ledger is preserved
+        (truncation is table history, not a reset of exactly-once
+        tracking); pass ``batch_id`` to make the truncation replay-safe."""
+        manifest = self.current_manifest()
+        committed = set(manifest["committed_batches"]) if manifest else set()
+        if batch_id is not None:
+            if batch_id in committed:
+                return
+            committed.add(batch_id)
+        schema = (
+            manifest["schema"]
+            if manifest
+            else json.dumps(_meta_schema(T.StructType(S.TRANSCRIPT.fields)).jsonValue())
+        )
+        self._commit(
+            {
+                "snapshot_id": (manifest["snapshot_id"] + 1) if manifest else 0,
+                "committed_batches": sorted(committed),
+                "buckets": {},
+                "schema": schema,
+                "key_cols": self.key_cols,
+                "n_buckets": self.n_buckets,
+            }
+        )
 
 
 def read_table(spark: SparkSession, root: str) -> DataFrame | None:

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from collections.abc import Callable, Iterable
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 Transform = Callable[[DataFrame], DataFrame]
 
@@ -170,6 +170,43 @@ def fanout(explode_col: str | Column, alias: str) -> Transform:
     """Declarative 1→N fan-out (flatMap semantics of generator feeders)."""
     col = F.col(explode_col) if isinstance(explode_col, str) else explode_col
     return lambda df: df.withColumn(alias, F.explode(col))
+
+
+def assign_surrogate_id(name: str, cols: list[str]) -> Transform:
+    """Deterministic surrogate key from identifier columns — the lake
+    analogue of E7 insert_get_id/id_field (chomper/contrib/sql/
+    exporters.py:164-182).  A DB auto-increment is a serialization
+    point; a hash key is partition-parallel, replay-safe, and stable
+    across reruns (exactly-once requires it).  60-bit md5 so the DuckDB
+    oracle reproduces it."""
+    parts = ", ".join(f"cast({c} AS string)" for c in cols)
+    expr = (
+        f"CAST(conv(substring(md5(concat_ws('#', {parts})), 1, 15), 16, 10) AS BIGINT)"
+    )
+    return lambda df: df.withColumn(name, F.expr(expr))
+
+
+def surrogate_id_sql(cols: list[str]) -> str:
+    parts = ", ".join(f"cast({c} AS VARCHAR)" for c in cols)
+    return f"('0x' || substr(md5(concat_ws('#', {parts})), 1, 15))::BIGINT"
+
+
+def sessionize(gap_turns: int = 4) -> Transform:
+    """Gap-based conversation sessionization: a new session starts when
+    the turn index jumps by more than ``gap_turns``.  Two stacked
+    windows over the SAME (conv_id ORDER BY turn_idx) partitioning —
+    one shuffle, both windows ride it."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        gap = F.col("turn_idx") - F.lag("turn_idx").over(w)
+        is_new = F.when(gap.isNull() | (gap > gap_turns), 1).otherwise(0)
+        return df.withColumn(
+            "session_id",
+            F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+
+    return _t
 
 
 # ---------------------------------------------------------------- P14

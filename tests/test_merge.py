@@ -184,3 +184,19 @@ def test_empty_batch_applies_cleanly(spark, tmp_table):
     m = sink.apply_batch(feed_df(spark, []), 1)
     assert m.merge_rows == 0 and not m.skipped
     assert sink.read().count() == 1
+
+
+def test_truncate_empties_table_and_is_replay_safe(spark, tmp_table):
+    # E4/E10 Truncator: full-refresh precursor (examples/companies.py:13)
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=2)
+    sink.apply_batch(feed_df(spark, [ev("I", "c1", 0, 1), ev("I", "c2", 0, 2)]), 0)
+    sink.truncate(batch_id=1)
+    assert sink.read().count() == 0
+    assert sink.committed_batches() == {0, 1}
+    snap = sink.current_manifest()["snapshot_id"]
+    sink.truncate(batch_id=1)  # replayed truncation is a no-op
+    assert sink.current_manifest()["snapshot_id"] == snap
+    # refresh pattern: reload after truncate
+    sink.apply_batch(feed_df(spark, [ev("I", "c9", 0, 9)]), 2)
+    rows = sink.read().collect()
+    assert len(rows) == 1 and rows[0]["conv_id"] == "c9"

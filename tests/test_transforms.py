@@ -129,3 +129,24 @@ def test_no_python_row_udfs_in_plans(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_assign_surrogate_id_deterministic_and_distinct(spark):
+    out = tx.pipe(
+        _df(spark), tx.assign_surrogate_id("row_id", ["conv_id", "turn_idx"])
+    )
+    a = {(r["conv_id"], r["turn_idx"]): r["row_id"] for r in out.collect()}
+    b = {(r["conv_id"], r["turn_idx"]): r["row_id"] for r in out.collect()}
+    assert a == b and len(set(a.values())) == 3  # stable across runs, unique per key
+
+
+def test_sessionize_gap_splits(spark):
+    df = spark.createDataFrame(
+        [("c1", t) for t in [0, 1, 2, 10, 11, 30]] + [("c2", 5)],
+        "conv_id string, turn_idx int",
+    )
+    out = tx.pipe(df, tx.sessionize(gap_turns=4))
+    sess = {(r["conv_id"], r["turn_idx"]): r["session_id"] for r in out.collect()}
+    assert sess[("c1", 0)] == sess[("c1", 2)] == 1
+    assert sess[("c1", 10)] == sess[("c1", 11)] == 2
+    assert sess[("c1", 30)] == 3 and sess[("c2", 5)] == 1

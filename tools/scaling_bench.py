@@ -35,8 +35,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-N_EVENTS = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "2000000"))
+N_EVENTS = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "8000000"))
 N_BATCHES = 2
+# Table layout is a TABLE property — identical at both cluster sizes
+# (otherwise the two levels run different jobs).
+N_BUCKETS = int(os.environ.get("SPARK_GRAFT_SCALE_BUCKETS", "64"))
 LEVELS = (
     int(os.environ.get("SPARK_GRAFT_SCALE_N", "8")),
     int(os.environ.get("SPARK_GRAFT_SCALE_4N", "32")),
@@ -60,7 +63,7 @@ def run_level(cores: int, n_events: int, warmup: bool = True) -> dict:
             )
             feed = with_batch_id(feed, N_BATCHES).persist()
             feed.count()
-            sink = SnapshotMergeSink(spark, root, n_buckets=cores * 2)
+            sink = SnapshotMergeSink(spark, root, n_buckets=N_BUCKETS)
             t0 = time.perf_counter()
             for b in range(N_BATCHES):
                 batch = feed.filter(F.col("batch_id") == b).drop("batch_id")
