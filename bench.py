@@ -60,13 +60,13 @@ def _timed(fn):
     return time.perf_counter() - t0, out
 
 
-def _apply_feed(spark, feed, n_buckets: int):
+def _apply_feed(spark, feed, n_buckets: int, write_mode: str = "cow"):
     """Replay a change feed through the SnapshotMergeSink in micro-batches."""
     root = tempfile.mkdtemp(prefix="chomper_spark_bench_")
     try:
         feed = with_batch_id(feed, N_BATCHES).persist()
         n = feed.count()
-        sink = SnapshotMergeSink(spark, root, n_buckets=n_buckets)
+        sink = SnapshotMergeSink(spark, root, n_buckets=n_buckets, write_mode=write_mode)
         for b in range(N_BATCHES):
             batch = feed.filter(F.col("batch_id") == b).drop("batch_id")
             sink.apply_batch(batch, batch_id=b, collect_metrics=False)
@@ -108,6 +108,15 @@ def main() -> None:
     queries["cdc_apply_synthetic"] = round(sec, 3)
     extras["synth_events"] = n_synth
     extras["synth_events_per_sec"] = round(n_synth / sec, 1)
+
+    # q2b: same synthetic replay in merge-on-read mode (the 10^10 path)
+    feed_mor = synthetic_change_feed(
+        spark, SYNTH_EVENTS, n_convs=SYNTH_EVENTS // 50, zipf_skew=1.0, seed=42,
+        n_partitions=CPUS,
+    )
+    sec, _ = _timed(lambda: _apply_feed(spark, feed_mor, n_buckets=CPUS, write_mode="mor"))
+    queries["cdc_apply_synthetic_mor"] = round(sec, 3)
+    extras["synth_mor_events_per_sec"] = round(SYNTH_EVENTS / sec, 1)
 
     # q3+: every driver-contract query at the bench SF (the graded surface)
     for name, fn in entry_mod.queries().items():

@@ -35,7 +35,10 @@ def batch_lineage(
                       no wall clock in the correctness path).
     """
     key_cols = key_cols or S.KEY_COLS
-    bucket = F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int")
+    # canonical string form — same widen-stable bucketing as the sink
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(c).cast("string") for c in key_cols]), F.lit(n_buckets)
+    ).cast("int")
     lag = (
         (F.unix_millis(F.lit(as_of_ts)) - F.unix_millis(F.max("op_ts"))).cast("long")
         if as_of_ts is not None

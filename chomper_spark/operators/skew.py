@@ -34,7 +34,11 @@ def with_salt(df: DataFrame, n_salts: int = 16, salt_col: str = "_salt") -> Data
     """Deterministic salt derived from the full key (NOT random — bench
     and tests need stable results across runs and parallelism)."""
     return df.withColumn(
-        salt_col, F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(n_salts)).cast("int")
+        salt_col,
+        F.pmod(
+            F.xxhash64(F.col("conv_id").cast("string"), F.col("turn_idx").cast("string")),
+            F.lit(n_salts),
+        ).cast("int"),
     )
 
 

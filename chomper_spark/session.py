@@ -29,6 +29,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
+        # committer v2: task outputs commit directly (no serial driver-side
+        # rename pass).  Safe here: atomicity comes from the engine's own
+        # manifest flip (operators/merge.py), never from the FS committer.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     if extra_conf:
         for k, v in extra_conf.items():

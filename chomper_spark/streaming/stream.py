@@ -49,6 +49,7 @@ class StreamingApply:
         n_buckets: int = 32,
         stage_partitions: int | None = None,
         collect_metrics: bool = False,
+        write_mode: str = "cow",
     ):
         self.spark = spark
         self.feed_dir = feed_dir
@@ -58,7 +59,9 @@ class StreamingApply:
         self.max_files_per_trigger = max_files_per_trigger
         self.stage_partitions = stage_partitions
         self.collect_metrics = collect_metrics
-        self.sink = SnapshotMergeSink(spark, state_root, n_buckets=n_buckets)
+        self.sink = SnapshotMergeSink(
+            spark, state_root, n_buckets=n_buckets, write_mode=write_mode
+        )
         self.lineage = LineageTable(spark, lineage_root) if lineage_root else None
         self.batch_metrics: list = []  # driver-side log of MergeMetrics
 

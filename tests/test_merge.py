@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from chomper_spark.operators.merge import SnapshotMergeSink
+from chomper_spark.operators.merge import IcebergMergeSink, SnapshotMergeSink
 from tests.helpers import assert_state_equals_oracle, ev, feed_df
 
 
@@ -200,3 +200,43 @@ def test_truncate_empties_table_and_is_replay_safe(spark, tmp_table):
     sink.apply_batch(feed_df(spark, [ev("I", "c9", 0, 9)]), 2)
     rows = sink.read().collect()
     assert len(rows) == 1 and rows[0]["conv_id"] == "c9"
+
+
+def test_expire_snapshots_keeps_live_state(spark, tmp_table):
+    import os
+
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=4)
+    batches = [[ev("I", f"c{i}", 0, i)] for i in range(1, 7)]
+    for i, b in enumerate(batches):
+        sink.apply_batch(feed_df(spark, b), i)
+    n_snaps_before = len(os.listdir(os.path.join(tmp_table, "snapshots")))
+    before = sorted(r["conv_id"] for r in sink.read().collect())
+
+    stats = sink.expire_snapshots(keep_manifests=2)
+    assert stats["snapshots_removed"] > 0
+    # table still reads identically — carried-forward bucket dirs survive
+    assert sorted(r["conv_id"] for r in sink.read().collect()) == before
+    assert len(os.listdir(os.path.join(tmp_table, "snapshots"))) < n_snaps_before
+    # and the sink still applies new batches afterwards
+    sink.apply_batch(feed_df(spark, [ev("U", "c1", 0, 99, text="post-gc")]), 99)
+    assert {r["text"] for r in sink.read().filter("conv_id = 'c1'").collect()} == {"post-gc"}
+
+
+def test_iceberg_merge_sql_builder():
+    sql = IcebergMergeSink.build_merge_sql(
+        "lake.transcripts", "batch_view", ["conv_id", "turn_idx"], ["role", "text"]
+    )
+    assert "MERGE INTO lake.transcripts t USING batch_view s" in sql
+    assert "t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx" in sql
+    assert "WHEN MATCHED AND s.op = 'D'" in sql and "THEN DELETE" in sql
+    assert "WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT" in sql
+    assert "t.role = s.role, t.text = s.text" in sql
+
+
+def test_read_plan_is_single_scan(spark, tmp_table):
+    # the state read must be ONE parquet relation over many bucket dirs,
+    # never a union of per-bucket scans (O(N) planning/listing per batch).
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=8)
+    sink.apply_batch(feed_df(spark, [ev("I", f"c{i}", 0, i) for i in range(20)]), 0)
+    plan = sink.read()._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1 and "Union" not in plan

@@ -1,0 +1,95 @@
+"""Merge-on-read mode: O(batch) delta appends + read-side latest-wins
+reduce + inline compaction must be observationally identical to the
+copy-on-write MERGE (same oracle, same exactly-once)."""
+
+from __future__ import annotations
+
+import pytest
+
+from chomper_spark.operators.merge import SnapshotMergeSink
+from tests.helpers import assert_state_equals_oracle, ev, feed_df
+
+
+def _mor(spark, path, **kw):
+    return SnapshotMergeSink(spark, str(path), n_buckets=4, write_mode="mor", **kw)
+
+
+def test_mor_matches_oracle_with_deletes_and_out_of_order(spark, tmp_path):
+    b0 = [ev("I", "c1", 0, 10, text="newer"), ev("I", "c2", 0, 2)]
+    b1 = [ev("U", "c1", 0, 5, text="stale, must lose"), ev("D", "c2", 0, 7)]
+    b2 = [ev("I", "c2", 0, 9, text="resurrected"), ev("I", "c3", 1, 11)]
+    sink = _mor(spark, tmp_path / "t")
+    for i, b in enumerate([b0, b1, b2]):
+        sink.apply_batch(feed_df(spark, b), i)
+    assert_state_equals_oracle(sink.read(), b0 + b1 + b2)
+    texts = {r["conv_id"]: r["text"] for r in sink.read().collect()}
+    assert texts["c1"] == "newer" and texts["c2"] == "resurrected"
+
+
+def test_mor_equals_cow_final_state(spark, tmp_path):
+    from chomper_spark.sources.feed import synthetic_change_feed, with_batch_id
+    from pyspark.sql import functions as F
+
+    feed = with_batch_id(
+        synthetic_change_feed(spark, 4000, n_convs=80, zipf_skew=1.0, seed=3), 3
+    ).persist()
+    cow = SnapshotMergeSink(spark, str(tmp_path / "cow"), n_buckets=4)
+    mor = _mor(spark, tmp_path / "mor", mor_compact_threshold=2)
+    for b in range(3):
+        batch = feed.filter(F.col("batch_id") == b).drop("batch_id")
+        cow.apply_batch(batch, b, collect_metrics=False)
+        mor.apply_batch(batch, b, collect_metrics=False)
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    a = cow.read().select(cols).toPandas().sort_values(cols[:2]).reset_index(drop=True)
+    b_ = mor.read().select(cols).toPandas().sort_values(cols[:2]).reset_index(drop=True)
+    feed.unpersist()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b_)
+
+
+def test_mor_ledger_skips_replay(spark, tmp_path):
+    events = [ev("I", "c1", 0, 1), ev("U", "c1", 0, 2)]
+    sink = _mor(spark, tmp_path / "t")
+    m0 = sink.apply_batch(feed_df(spark, events), 0)
+    m1 = sink.apply_batch(feed_df(spark, events), 0)
+    assert not m0.skipped and m1.skipped
+    assert sink.read().count() == 1
+    assert_state_equals_oracle(sink.read(), events)
+
+
+def test_mor_compaction_bounds_delta_chains(spark, tmp_path):
+    sink = _mor(spark, tmp_path / "t", mor_compact_threshold=3)
+    all_events = []
+    for i in range(7):
+        b = [ev("U" if i else "I", "c1", 0, i, text=f"v{i}"), ev("I", f"x{i}", 0, 100 + i)]
+        all_events += b
+        sink.apply_batch(feed_df(spark, b), i)
+    man = sink.current_manifest()
+    assert all(len(v) < 3 for v in man.get("deltas", {}).values())
+    assert man["buckets"], "compaction must have produced base files"
+    assert_state_equals_oracle(sink.read(), all_events)
+    # GC after many snapshots keeps the table readable
+    before = sorted(r["conv_id"] for r in sink.read().collect())
+    sink.expire_snapshots(keep_manifests=1)
+    assert sorted(r["conv_id"] for r in sink.read().collect()) == before
+
+
+def test_mor_rejects_preimage_modes(spark, tmp_path):
+    sink = _mor(spark, tmp_path / "t")
+    with pytest.raises(ValueError, match="cow"):
+        sink.apply_batch(feed_df(spark, [ev("I", "c1", 0, 1)]), 0, update_only_nulls=True)
+
+
+def test_mor_schema_evolution_falls_back_to_rewrite(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    sink = _mor(spark, tmp_path / "t", mor_compact_threshold=99)
+    sink.apply_batch(feed_df(spark, [ev("I", "c1", 0, 1)]), 0)
+    b2 = feed_df(spark, [ev("I", "c2", 0, 2)]).withColumn("tool_meta", F.lit("v2"))
+    m = sink.apply_batch(b2, 1)
+    assert m.schema_added == ["tool_meta"]
+    rows = {r["conv_id"]: r for r in sink.read().collect()}
+    assert rows["c2"]["tool_meta"] == "v2" and rows["c1"]["tool_meta"] is None
+    # the rewrite folded every delta chain
+    assert sink.current_manifest().get("deltas", {}) == {}

@@ -66,3 +66,17 @@ def test_batch_lineage_counts(spark, tmp_path):
     t.append(lin, 7)
     t.append(batch_lineage(feed_df(spark, events), batch_id=8, n_buckets=4), 8)
     assert t.read().select("batch_id").distinct().count() == 2
+
+
+def test_dedup_agg_equals_window_form(spark):
+    from chomper_spark.operators.dedup import dedup_latest_agg
+
+    feed = synthetic_change_feed(spark, 20_000, n_convs=300, zipf_skew=1.0, seed=11)
+    a = dedup_latest(feed).toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = (
+        dedup_latest_agg(feed)[a.columns.tolist()]
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
