@@ -41,12 +41,17 @@ FINAL_STATE_SQL = (
 )
 
 
-def _apply_feed(spark: SparkSession, sf_dir: str, replay_twice: bool = False) -> DataFrame:
+def _apply_feed(
+    spark: SparkSession, sf_dir: str, replay_twice: bool = False, write_mode: str = "cow"
+) -> DataFrame:
     """Run the real engine: micro-batch the feed, MERGE each batch."""
     feed = with_batch_id(change_feed_from_events(spark, sf_dir), N_BATCHES)
     feed = feed.persist()
     sink = SnapshotMergeSink(
-        spark, tempfile.mkdtemp(prefix="chomper_spark_state_"), n_buckets=16
+        spark,
+        tempfile.mkdtemp(prefix="chomper_spark_state_"),
+        n_buckets=16,
+        write_mode=write_mode,
     )
     passes = 2 if replay_twice else 1
     for p in range(passes):
@@ -154,6 +159,44 @@ def _q_tx_nullify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_apply_final_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the merge-on-read engine must converge to the SAME final state
+    # (one shared oracle for both sink modes)
+    return _apply_feed(spark, sf_dir, write_mode="mor")
+
+
+def _q_conv_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assemble each conversation's final transcript text in turn order
+    (the 'stable turn ordering' invariant made visible as one string)."""
+    final = _apply_feed(spark, sf_dir)
+    return final.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                lambda x: x["text"],
+            ),
+            " | ",
+        ).alias("transcript"),
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+    )
+
+
+def _q_field_change_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 change-listener analogue: per-key count of events whose text
+    differs from the previous event's text (in (op_ts, batch_seq) order)."""
+    from pyspark.sql import Window
+
+    feed = change_feed_from_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("op_ts", "batch_seq")
+    prev = F.lag("text").over(w)
+    changed = F.when(prev.isNotNull() & ~prev.eqNullSafe(F.col("text")), 1).otherwise(0)
+    return (
+        feed.withColumn("_chg", changed)
+        .groupBy("conv_id")
+        .agg(F.sum("_chg").cast("long").alias("text_changes"))
+    )
+
+
 def _q_surrogate_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = change_feed_from_events(spark, sf_dir)
     return tx.pipe(
@@ -228,6 +271,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_surrogate_id": _q_surrogate_id,
         "conv_sessionize": _q_sessionize,
         "skew_salted_conv_counts": _q_salted_counts,
+        "cdc_apply_final_state_mor": _q_apply_final_mor,
+        "conv_assemble_text": _q_conv_assemble,
+        "tx_field_change_counts": _q_field_change_counts,
     }
 
 
@@ -314,5 +360,20 @@ def oracle_sql() -> dict[str, str]:
         "skew_salted_conv_counts": (
             f"WITH {_FEED_CTE} "
             "SELECT conv_id, count(*) AS n_events FROM feed GROUP BY conv_id"
+        ),
+        "cdc_apply_final_state_mor": FINAL_STATE_SQL,
+        "conv_assemble_text": (
+            f"WITH {_FEED_CTE}, {_RANKED_CTE}, "
+            "final AS (SELECT conv_id, turn_idx, text FROM ranked WHERE rn = 1 AND op <> 'D') "
+            "SELECT conv_id, string_agg(text, ' | ' ORDER BY turn_idx) AS transcript, "
+            "count(*)::BIGINT AS n_turns FROM final GROUP BY conv_id"
+        ),
+        "tx_field_change_counts": (
+            f"WITH {_FEED_CTE}, "
+            "g AS (SELECT conv_id, CASE WHEN lag(text) OVER "
+            "(PARTITION BY conv_id, turn_idx ORDER BY op_ts, batch_seq) IS NOT NULL "
+            "AND lag(text) OVER (PARTITION BY conv_id, turn_idx ORDER BY op_ts, batch_seq) "
+            "IS DISTINCT FROM text THEN 1 ELSE 0 END AS chg FROM feed) "
+            "SELECT conv_id, CAST(sum(chg) AS BIGINT) AS text_changes FROM g GROUP BY conv_id"
         ),
     }

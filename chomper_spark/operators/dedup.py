@@ -40,7 +40,7 @@ def dedup_latest_agg(
     key_cols: list[str] | None = None,
     version_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Same semantics as ``dedup_latest`` via max_by hash aggregation.
+    """Same semantics as ``dedup_latest`` via a max_by aggregate.
 
     Performance form for the merge hot path: partial (map-side)
     aggregation collapses duplicate keys BEFORE the shuffle and avoids

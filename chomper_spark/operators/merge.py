@@ -18,7 +18,8 @@ so the MERGE sink is an interface with a snapshot/manifest fallback
 whose semantics match ``MERGE INTO``):
 
 * Table state = hash-bucketed parquet: bucket k holds keys with
-  ``pmod(xxhash64(conv_id, turn_idx), n_buckets) = k``.  Bucketing on
+  ``pmod(xxhash64(cast(conv_id as string), cast(turn_idx as string)),
+  n_buckets) = k`` (canonical string form — widen-stable).  Bucketing on
   the FULL key (not conv_id alone) is deliberate skew handling: a hot
   conversation's turns spread over all buckets, so no single task
   owns a hot key (north rule: salted-key skew handling — turn_idx is
@@ -318,7 +319,7 @@ class SnapshotMergeSink:
             # schema evolution falls through to the COW full rewrite below
             # (all buckets touched), which also folds existing delta chains
 
-        # -- dedup latest-wins inside the batch: max_by hash-agg (map-side
+        # -- dedup latest-wins inside the batch: max_by aggregate (map-side
         # combine collapses dupes pre-shuffle; the window/row_number form
         # in operators/dedup.py is semantically identical)
         src = dedup_latest_agg(
