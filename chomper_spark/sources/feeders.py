@@ -141,3 +141,36 @@ def query_feeder(spark: SparkSession, sql: str) -> DataFrame:
     Signature list and replays it (chomper/support/replay.py:48-71);
     Spark SQL text → unresolved logical plan is the same split."""
     return spark.sql(sql)
+
+
+def http_feeder(
+    spark: SparkSession,
+    url: str,
+    format: str = "jsonlines",
+    schema: T.StructType | str | None = None,
+    timeout: int = 30,
+):
+    """HTTP source (S10, chomper/readers.py:72-99).
+
+    Spark has no native HTTP DataSource; like the reference (which
+    streams ``iter_lines`` on the DRIVER), the fetch is driver-side and
+    the parsed rows are parallelized.  Right for small config/seed
+    feeds only — bulk data belongs on s3a://-style storage where the
+    executors scan it in parallel (S11).  Gated behind an import-try:
+    the sandbox has no network, so tests exercise the parse path with
+    a local file:// URL.
+    """
+    import io
+    import json as _json
+    import urllib.request
+
+    with urllib.request.urlopen(url, timeout=timeout) as resp:  # noqa: S310
+        body = resp.read().decode("utf-8", errors="replace")
+    if format == "jsonlines":
+        rows = [_json.loads(line) for line in io.StringIO(body) if line.strip()]
+    elif format == "json":
+        doc = _json.loads(body)
+        rows = doc if isinstance(doc, list) else [doc]
+    else:
+        raise ValueError(f"unsupported http format: {format}")
+    return list_feeder(spark, rows, schema=schema)

@@ -73,3 +73,11 @@ def test_table_and_query_feeder(spark):
     df.createOrReplaceTempView("region_v")
     out = fd.query_feeder(spark, "SELECT count(*) AS n FROM region_v")
     assert out.collect()[0]["n"] == df.count() > 0
+
+
+def test_http_feeder_parses_jsonlines_via_file_url(spark, tmp_path):
+    # no network in the sandbox: file:// exercises the same fetch+parse path
+    p = tmp_path / "feed.jsonl"
+    p.write_text('{"name": "Frank", "age": 29}\n{"name": "Stacy", "age": 26}\n')
+    df = fd.http_feeder(spark, p.as_uri(), schema="name string, age long")
+    assert sorted(r["name"] for r in df.collect()) == ["Frank", "Stacy"]

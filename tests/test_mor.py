@@ -93,3 +93,23 @@ def test_mor_schema_evolution_falls_back_to_rewrite(spark, tmp_path):
     assert rows["c2"]["tool_meta"] == "v2" and rows["c1"]["tool_meta"] is None
     # the rewrite folded every delta chain
     assert sink.current_manifest().get("deltas", {}) == {}
+
+
+def test_streaming_apply_in_mor_mode(spark, tmp_path):
+    from chomper_spark.streaming import StreamingApply
+    from tests.helpers import feed_df
+
+    feed_dir = str(tmp_path / "feed")
+    c1 = [ev("I", "c1", 0, 1), ev("I", "c2", 0, 2)]
+    c2 = [ev("U", "c1", 0, 3, text="v2"), ev("D", "c2", 0, 4)]
+    for chunk in (c1, c2):
+        feed_df(spark, chunk).coalesce(1).write.mode("append").parquet(feed_dir)
+    app = StreamingApply(
+        spark, feed_dir, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, n_buckets=4, write_mode="mor",
+    )
+    app.run_available()
+    assert_state_equals_oracle(
+        app.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts"),
+        c1 + c2,
+    )

@@ -109,3 +109,35 @@ def test_stream_late_event_version_checked_not_clock_checked(spark, tmp_path):
     app2.run_available()
     rows = app2.read().collect()
     assert len(rows) == 1 and rows[0]["text"] == "new"
+
+
+def test_stateful_conversation_tracker_across_batches(spark, tmp_path):
+    # applyInPandasWithState: per-conv running state must accumulate
+    # ACROSS micro-batches (one file = one batch via maxFilesPerTrigger).
+    from chomper_spark import schema as S
+    from chomper_spark.streaming.stateful import conversation_tracker
+
+    feed_dir = str(tmp_path / "feed")
+    _write_chunk(spark, [ev("I", "c1", 0, 1, tool="browser"), ev("I", "c1", 1, 2)], feed_dir)
+    _write_chunk(spark, [ev("U", "c1", 0, 3), ev("I", "c2", 0, 4, tool="search")], feed_dir)
+
+    stream = (
+        spark.readStream.schema(S.CHANGE_EVENT)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    out_rows = []
+    q = (
+        conversation_tracker(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, _bid: out_rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = {}
+    for r in out_rows:  # last update per conv wins
+        final[r["conv_id"]] = (r["turns_seen"], r["tool_calls"])
+    assert final["c1"] == (3, 1)  # 2 events batch A + 1 batch B, one tool call
+    assert final["c2"] == (1, 1)
