@@ -197,6 +197,27 @@ def _q_field_change_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup: for each event, the user's latest order
+    at-or-before the event timestamp (custom as-of join operator)."""
+    from chomper_spark.operators.asof import asof_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    right = (
+        orders.groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("ots"),
+        )
+        .agg(
+            F.max("o_orderkey").alias("last_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("last_totalprice"),
+        )
+    )
+    left = events.select("event_id", "user_id", "ts")
+    return asof_join(left, right, on=["user_id"], left_ts="ts", right_ts="ots")
+
+
 def _q_surrogate_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = change_feed_from_events(spark, sf_dir)
     return tx.pipe(
@@ -272,6 +293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_sessionize": _q_sessionize,
         "skew_salted_conv_counts": _q_salted_counts,
         "cdc_apply_final_state_mor": _q_apply_final_mor,
+        "asof_join_last_order": _q_asof_join,
         "conv_assemble_text": _q_conv_assemble,
         "tx_field_change_counts": _q_field_change_counts,
     }
@@ -362,6 +384,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, count(*) AS n_events FROM feed GROUP BY conv_id"
         ),
         "cdc_apply_final_state_mor": FINAL_STATE_SQL,
+        "asof_join_last_order": (
+            "WITH ro AS (SELECT o_custkey AS user_id, "
+            "CAST(o_orderdate AS TIMESTAMP) AS ots, "
+            "max(o_orderkey) AS last_orderkey, "
+            "arg_max(o_totalprice, o_orderkey) AS last_totalprice "
+            "FROM orders GROUP BY 1, 2) "
+            "SELECT e.event_id, e.user_id, e.ts, r.last_orderkey, r.last_totalprice "
+            "FROM events e ASOF LEFT JOIN ro r "
+            "ON e.user_id = r.user_id AND r.ots <= e.ts"
+        ),
         "conv_assemble_text": (
             f"WITH {_FEED_CTE}, {_RANKED_CTE}, "
             "final AS (SELECT conv_id, turn_idx, text FROM ranked WHERE rn = 1 AND op <> 'D') "

@@ -217,11 +217,22 @@ class SnapshotMergeSink:
             df = dedup_latest_agg(df, self.key_cols, [S.META_OP_TS, S.META_BATCH_SEQ])
         return df
 
-    def read_state(self) -> DataFrame | None:
+    def manifest_at(self, snapshot_id: int) -> dict:
+        """Load a historical manifest (time travel; available until
+        expire_snapshots removes it)."""
+        with open(os.path.join(self.root, "manifests", f"m{snapshot_id:08d}.json")) as fh:
+            return json.load(fh)
+
+    def read_state(self, as_of_snapshot: int | None = None) -> DataFrame | None:
         """Full state including tombstones and version metadata.
         None only if the table was never created; an existing empty
-        table (e.g. just truncated) reads as an empty DataFrame."""
-        m = self.current_manifest()
+        table (e.g. just truncated) reads as an empty DataFrame.
+        ``as_of_snapshot`` reads a historical snapshot (time travel)."""
+        m = (
+            self.current_manifest()
+            if as_of_snapshot is None
+            else self.manifest_at(as_of_snapshot)
+        )
         if m is None:
             return None
         all_buckets = {int(k) for k in m["buckets"]} | {
@@ -233,9 +244,12 @@ class SnapshotMergeSink:
             return self.spark.createDataFrame([], schema=schema)
         return out
 
-    def read(self) -> DataFrame | None:
-        """User-facing table: live rows, user columns only."""
-        st = self.read_state()
+    def read(self, as_of_snapshot: int | None = None) -> DataFrame | None:
+        """User-facing table: live rows, user columns only.  Pass
+        ``as_of_snapshot`` for a point-in-time (time-travel) read —
+        every commit is a snapshot, so any committed batch boundary is
+        reconstructible until GC'd."""
+        st = self.read_state(as_of_snapshot)
         if st is None:
             return None
         return st.filter(~F.col(S.META_DELETED)).drop(*S.META_COLS)

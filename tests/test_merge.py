@@ -240,3 +240,17 @@ def test_read_plan_is_single_scan(spark, tmp_table):
     sink.apply_batch(feed_df(spark, [ev("I", f"c{i}", 0, i) for i in range(20)]), 0)
     plan = sink.read()._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1 and "Union" not in plan
+
+
+def test_time_travel_read_reconstructs_any_snapshot(spark, tmp_table):
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=2)
+    sink.apply_batch(feed_df(spark, [ev("I", "c1", 0, 1, text="v1")]), 0)     # snapshot 0
+    sink.apply_batch(feed_df(spark, [ev("U", "c1", 0, 2, text="v2"),
+                                     ev("I", "c2", 0, 3)]), 1)                # snapshot 1
+    sink.apply_batch(feed_df(spark, [ev("D", "c2", 0, 4)]), 2)                # snapshot 2
+    s0 = {(r["conv_id"], r["text"]) for r in sink.read(as_of_snapshot=0).collect()}
+    s1 = {(r["conv_id"], r["text"]) for r in sink.read(as_of_snapshot=1).collect()}
+    s2 = {(r["conv_id"], r["text"]) for r in sink.read().collect()}
+    assert s0 == {("c1", "v1")}
+    assert s1 == {("c1", "v2"), ("c2", "text c2/0 v3")}
+    assert s2 == {("c1", "v2")}

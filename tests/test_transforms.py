@@ -150,3 +150,23 @@ def test_sessionize_gap_splits(spark):
     assert sess[("c1", 0)] == sess[("c1", 2)] == 1
     assert sess[("c1", 10)] == sess[("c1", 11)] == 2
     assert sess[("c1", 30)] == 3 and sess[("c2", 5)] == 1
+
+
+def test_asof_join_semantics_including_equal_ts(spark):
+    from chomper_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k1", 10, "e1"), ("k1", 20, "e2"), ("k1", 5, "e0"), ("k2", 10, "e3")],
+        "k string, ts int, ev string",
+    )
+    right = spark.createDataFrame(
+        [("k1", 10, "r@10"), ("k1", 15, "r@15"), ("k9", 1, "r-other")],
+        "k string, ts int, v string",
+    )
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts")
+    got = {(r["k"], r["ts"]): r["v"] for r in out.collect()}
+    assert got[("k1", 5)] is None          # nothing at-or-before
+    assert got[("k1", 10)] == "r@10"       # equal ts IS visible (<=)
+    assert got[("k1", 20)] == "r@15"       # latest prior wins
+    assert got[("k2", 10)] is None         # key with no right rows
+    assert len(got) == 4                   # left join: all left rows kept
