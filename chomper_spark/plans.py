@@ -1,0 +1,71 @@
+"""Declarative pipeline composition — the reference's ``Importer``.
+
+The reference's top-level API is an importer with a name and a pipeline
+list walked item-at-a-time, counting items_processed / items_dropped
+(chomper/importers.py:25-89, counters :44-45,101-105).  Here the same
+shape assembles ONE Catalyst plan: feeder → transforms → sink; "run"
+is a single batch apply (or hand the feed to StreamingApply for the
+continuous mode, chomper/importers.py:54-62).
+
+    imp = Importer(
+        name="transcripts",
+        feeder=lambda spark: change_feed_from_events(spark, sf_dir),
+        pipeline=[tx.drop_rows(...), tx.map_values("role", {...})],
+        sink=SnapshotMergeSink(spark, root),
+    )
+    metrics = imp.run(spark, batch_id=0)
+    metrics.items_processed, metrics.items_dropped
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from chomper_spark.operators import transforms as tx
+from chomper_spark.operators.merge import MergeMetrics, SnapshotMergeSink
+
+
+@dataclass
+class RunResult:
+    """The reference's importer counters (chomper/importers.py:44-45),
+    set-oriented: processed = rows reaching the sink, dropped = rows
+    removed by the transform pipeline (filters/dedup)."""
+
+    items_processed: int
+    items_dropped: int
+    merge: MergeMetrics | None
+
+
+class Importer:
+    def __init__(
+        self,
+        name: str,
+        feeder: Callable[[SparkSession], DataFrame],
+        pipeline: Sequence[tx.Transform] = (),
+        sink: SnapshotMergeSink | None = None,
+    ):
+        self.name = name
+        self.feeder = feeder
+        self.pipeline = list(pipeline)
+        self.sink = sink
+
+    def dataframe(self, spark: SparkSession) -> DataFrame:
+        """The assembled lazy plan (feeder → transforms), no action."""
+        return tx.pipe(self.feeder(spark), *self.pipeline)
+
+    def run(self, spark: SparkSession, batch_id: int = 0, **apply_kwargs) -> RunResult:
+        """One batch pass: count-in, transform, apply to the sink."""
+        fed = self.feeder(spark).persist()
+        n_in = fed.count()
+        out = tx.pipe(fed, *self.pipeline)
+        if self.sink is None:
+            n_out = out.count()
+            fed.unpersist()
+            return RunResult(n_out, n_in - n_out, None)
+        m = self.sink.apply_batch(out, batch_id=batch_id, **apply_kwargs)
+        fed.unpersist()
+        processed = m.merge_rows if m.merge_rows else 0
+        return RunResult(processed, n_in - processed, m)

@@ -170,3 +170,33 @@ def test_asof_join_semantics_including_equal_ts(spark):
     assert got[("k1", 20)] == "r@15"       # latest prior wins
     assert got[("k2", 10)] is None         # key with no right rows
     assert len(got) == 4                   # left join: all left rows kept
+
+
+def test_importer_pipeline_counters(spark, tmp_path):
+    # the reference's Importer shape: name + pipeline + counters
+    # (chomper/importers.py:25-89; items_processed/items_dropped :44-45)
+    from chomper_spark.operators.merge import SnapshotMergeSink
+    from chomper_spark.plans import Importer
+    from tests.helpers import ev, feed_df
+
+    events = [
+        ev("I", "c1", 0, 1, role="user"),
+        ev("I", "c1", 1, 2, role="system"),   # dropped by pipeline
+        ev("U", "c1", 0, 3, role="user"),     # dedup-merged into c1/0
+        ev("I", "c2", 0, 4, role="user"),
+    ]
+    imp = Importer(
+        name="transcripts",
+        feeder=lambda s: feed_df(s, events),
+        pipeline=[tx.drop_rows(F.col("role") == "system")],
+        sink=SnapshotMergeSink(spark, str(tmp_path / "t"), n_buckets=2),
+    )
+    res = imp.run(spark, batch_id=0, collect_metrics=True)
+    assert res.items_processed == 2  # c1/0 (latest), c2/0
+    assert res.items_dropped == 2    # 1 filtered + 1 dedup-superseded
+    assert imp.sink.read().count() == 2
+    # sink-less mode: pure transform counters
+    imp2 = Importer("noop", lambda s: feed_df(s, events),
+                    [tx.drop_rows(F.col("role") == "system")])
+    res2 = imp2.run(spark)
+    assert (res2.items_processed, res2.items_dropped) == (3, 1)
