@@ -13,17 +13,67 @@ window, so it scales exactly as far.  (The naive alternative — a range
 join ``l JOIN r ON key AND r.ts <= l.ts`` + max — is O(n·m) per key and
 collapses on hot keys.)
 
+Row-image atomicity: the right value columns are carried as ONE
+nullable struct, so the attached values always come from a single right
+row.  Carrying each column independently would splice a legitimately-
+NULL column from an OLDER right row into a newer row image — diverging
+from DuckDB ASOF JOIN semantics.
+
 Ordering tie-break: at equal timestamps the right row sorts BEFORE the
 left row (side tag 0 < 1), so an exactly-simultaneous right value is
 visible to the left row — matching DuckDB's native ASOF JOIN
-(right_ts <= left_ts), which the driver oracle uses.
+(right_ts <= left_ts), which the driver oracle uses.  Ties BETWEEN
+right rows at identical (key, ts) are resolved arbitrarily (same as
+DuckDB) — keep right (key, ts) unique for full determinism.
+
+Skew: the single-window form partitions on the join key alone, so one
+hot key (a user with 10^9 events) becomes a single-task sort.  Pass
+``chunk_seconds`` to switch to the two-pass time-chunked form: rows
+are windowed per (key, time_chunk) — bounded task size — and a tiny
+per-(key, chunk) boundary table carries the latest right image across
+chunk boundaries.  Same semantics, every shuffle keyed on (key, chunk).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 _SIDE = "_asof_side"
+_R = "_asof_r"
+_CHUNK = "_asof_chunk"
+
+
+def _tag_sides(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> tuple[DataFrame, T.StructType]:
+    """Union-tag the two sides; right values ride in one nullable struct."""
+    r_struct_type = T.StructType([right.schema[c] for c in value_cols])
+    l_tagged = left.select(
+        *on,
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(r_struct_type).alias(_R),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+    )
+    r_tagged = right.select(
+        *on,
+        F.col(right_ts).cast(l_tagged.schema["_asof_ts"].dataType).alias("_asof_ts"),
+        F.lit(0).alias(_SIDE),
+        F.struct(*[F.col(c) for c in value_cols]).alias(_R),
+        F.lit(None).cast(l_tagged.schema["_l"].dataType).alias("_l"),
+    )
+    return l_tagged.unionByName(r_tagged), r_struct_type
+
+
+def _unpack(carried: DataFrame, value_cols: list[str]) -> DataFrame:
+    return carried.filter(F.col(_SIDE) == 1).select(
+        "_l.*", *[F.col(f"{_R}.{c}").alias(c) for c in value_cols]
+    )
 
 
 def asof_join(
@@ -33,37 +83,74 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     value_cols: list[str] | None = None,
+    chunk_seconds: float | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row, plus the latest right values
-    at-or-before its timestamp (NULL when no prior right row)."""
+    at-or-before its timestamp (NULL when no prior right row).
+
+    ``chunk_seconds`` enables the skew-hardened two-pass form (see
+    module docstring) — use it when a single key can hold more rows
+    than one task should sort."""
     value_cols = value_cols or [
         c for c in right.columns if c not in (*on, right_ts)
     ]
-    l_tagged = left.select(
-        *on,
-        F.col(left_ts).alias("_asof_ts"),
-        F.lit(1).alias(_SIDE),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
-        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
-    )
-    r_tagged = right.select(
-        *on,
-        F.col(right_ts).cast(l_tagged.schema["_asof_ts"].dataType).alias("_asof_ts"),
-        F.lit(0).alias(_SIDE),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
-        F.lit(None).cast(l_tagged.schema["_l"].dataType).alias("_l"),
-    )
-    w = (
-        Window.partitionBy(*on)
+    tagged, _ = _tag_sides(left, right, on, left_ts, right_ts, value_cols)
+
+    if chunk_seconds is None:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy("_asof_ts", _SIDE)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carried = tagged.select(
+            _SIDE, "_l", F.last(_R, ignorenulls=True).over(w).alias(_R)
+        )
+        return _unpack(carried, value_cols)
+
+    # -- two-pass time-chunked form: bounded per-task sort on hot keys
+    ts_type = tagged.schema["_asof_ts"].dataType
+    if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        chunk = F.floor(
+            F.unix_micros(F.col("_asof_ts")) / F.lit(int(chunk_seconds * 1_000_000))
+        )
+    else:  # numeric event-time (epoch seconds / logical ticks)
+        chunk = F.floor(F.col("_asof_ts") / F.lit(chunk_seconds)).cast("long")
+    tagged = tagged.withColumn(_CHUNK, chunk)
+
+    # pass 1a: within-chunk carry — window partitioned on (key, chunk),
+    # so a hot key's rows split across ceil(span/chunk_seconds) tasks
+    w_chunk = (
+        Window.partitionBy(*on, _CHUNK)
         .orderBy("_asof_ts", _SIDE)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = l_tagged.unionByName(r_tagged).select(
-        _SIDE,
-        "_l",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}") for c in value_cols],
+    within = tagged.select(
+        *on, _CHUNK, _SIDE, "_l",
+        F.last(_R, ignorenulls=True).over(w_chunk).alias("_within"),
     )
-    out = carried.filter(F.col(_SIDE) == 1).select(
-        "_l.*", *[F.col(f"_r_{c}").alias(c) for c in value_cols]
+
+    # pass 1b: per-(key, chunk) boundary table — the latest right image
+    # in each chunk.  One row per (key, chunk): tiny relative to input.
+    chunk_last = (
+        tagged.filter(F.col(_SIDE) == 0)
+        .groupBy(*on, _CHUNK)
+        .agg(F.max_by(_R, F.col("_asof_ts")).alias("_final"))
     )
-    return out
+    all_chunks = tagged.select(*on, _CHUNK).distinct()
+    w_carry = (
+        Window.partitionBy(*on)
+        .orderBy(_CHUNK)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # this window partitions by key alone, but its input is the chunk
+    # table (one row per (key, chunk)) — bounded even for a hot key
+    carry = all_chunks.join(chunk_last, on=[*on, _CHUNK], how="left").select(
+        *on, _CHUNK, F.last("_final", ignorenulls=True).over(w_carry).alias("_carry")
+    )
+
+    # pass 2: stitch — within-chunk value if present, else the carry-in
+    # from the newest earlier chunk.  Equi-join on (key, chunk).
+    carried = within.join(carry, on=[*on, _CHUNK], how="left").select(
+        _SIDE, "_l", F.coalesce(F.col("_within"), F.col("_carry")).alias(_R)
+    )
+    return _unpack(carried, value_cols)

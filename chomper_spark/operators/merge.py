@@ -47,7 +47,9 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import tempfile
+import threading
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -57,6 +59,13 @@ from chomper_spark.operators.dedup import dedup_latest_agg
 from chomper_spark.operators.evolve import align_to_schema, evolve_schema
 
 _BUCKET = "_bucket"
+_MANIFEST_RE = re.compile(r"^m\d{8}\.json$")
+# Serializes the AQE-off window around the static MOR write: session
+# conf is shared, so without this a concurrently-planned query on the
+# same SparkSession could observe AQE disabled, and two concurrent MOR
+# writers could race the restore.  (Multi-writer sessions should still
+# prefer one sink per session.)
+_SESSION_CONF_LOCK = threading.Lock()
 
 
 @dataclass
@@ -549,12 +558,13 @@ class SnapshotMergeSink:
         # AQE adds only driver re-planning latency here (~1s/batch measured,
         # a core-count-independent term that caps scaling) — disable it for
         # this write alone; COW joins keep AQE for skew handling.
-        prev_aqe = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
-        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try:
-            delta_df.write.mode("overwrite").partitionBy(_BUCKET).parquet(out_path)
-        finally:
-            self.spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        with _SESSION_CONF_LOCK:
+            prev_aqe = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+            self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+            try:
+                delta_df.write.mode("overwrite").partitionBy(_BUCKET).parquet(out_path)
+            finally:
+                self.spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         if collect_metrics:
             delta_df.unpersist()
 
@@ -627,14 +637,19 @@ class SnapshotMergeSink:
         mdir = os.path.join(self.root, "manifests")
         with open(self._current_path()) as fh:
             current_name = fh.read().strip()
-        names = sorted(os.listdir(mdir), reverse=True)  # newest first
+        # only committed manifests participate in retention: a leftover
+        # m*.json.tmp from a crashed _commit must neither consume a
+        # retention slot nor be loaded as JSON
+        names = sorted(
+            (n for n in os.listdir(mdir) if _MANIFEST_RE.match(n)), reverse=True
+        )  # newest first
         keep = set(names[:keep_manifests]) | {current_name}
         live_snapshots: set[str] = set()
         for name in keep:
             try:
                 with open(os.path.join(mdir, name)) as fh:
                     man = json.load(fh)
-            except FileNotFoundError:
+            except (FileNotFoundError, json.JSONDecodeError):
                 continue
             for rel in man["buckets"].values():
                 live_snapshots.add(rel.split("/")[1])  # snapshots/<sid>/...

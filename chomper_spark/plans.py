@@ -57,7 +57,14 @@ class Importer:
         return tx.pipe(self.feeder(spark), *self.pipeline)
 
     def run(self, spark: SparkSession, batch_id: int = 0, **apply_kwargs) -> RunResult:
-        """One batch pass: count-in, transform, apply to the sink."""
+        """One batch pass: count-in, transform, apply to the sink.
+
+        Metrics collection is forced on — the counters ARE the
+        importer's contract (chomper/importers.py:44-45), so a caller
+        passing ``collect_metrics=False`` through ``apply_kwargs`` must
+        not silently zero them.  A ledger-skipped replay batch reports
+        processed=0/dropped=0 with ``merge.skipped=True`` rather than
+        pretending every input row was dropped."""
         fed = self.feeder(spark).persist()
         n_in = fed.count()
         out = tx.pipe(fed, *self.pipeline)
@@ -65,7 +72,9 @@ class Importer:
             n_out = out.count()
             fed.unpersist()
             return RunResult(n_out, n_in - n_out, None)
-        m = self.sink.apply_batch(out, batch_id=batch_id, **apply_kwargs)
+        apply_kwargs.pop("collect_metrics", None)
+        m = self.sink.apply_batch(out, batch_id=batch_id, collect_metrics=True, **apply_kwargs)
         fed.unpersist()
-        processed = m.merge_rows if m.merge_rows else 0
-        return RunResult(processed, n_in - processed, m)
+        if m.skipped:
+            return RunResult(0, 0, m)
+        return RunResult(m.merge_rows, n_in - m.merge_rows, m)

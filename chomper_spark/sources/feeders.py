@@ -49,6 +49,11 @@ def csv_feeder(
     The reference zips user ``columns`` with values and raises on arity
     mismatch (chomper/feeders.py:63-88); here malformed rows are dropped
     (DROPMALFORMED) or kept with nulls (PERMISSIVE).
+
+    Limitation of the ``skip>0`` path: lines come from a raw newline
+    split, so quoted embedded newlines are NOT supported there (use
+    skip=0, which goes through the real CSV scan, when fields may
+    contain newlines).
     """
     if skip:
         # Spark's CSV scan has no skip-N-lines option; do it per FILE:
@@ -57,10 +62,19 @@ def csv_feeder(
         # use case); for huge splittable CSVs use skip=0.
         from pyspark.sql import functions as F
 
+        if header:
+            # from_csv never sees a header option — fold the header
+            # line into the skipped prefix instead of parsing it as data
+            skip += 1
+            header = False
         if schema is None and columns:
             ddl = ", ".join(f"`{c}` string" for c in columns)
         elif isinstance(schema, T.StructType):
-            ddl = schema.simpleString()[len("struct<") : -1].replace(":", " ")
+            # per-field DDL: a global ':'→' ' replace would mangle
+            # nested types like array<struct<a:int>>
+            ddl = ", ".join(
+                f"`{f_.name}` {f_.dataType.simpleString()}" for f_ in schema.fields
+            )
         else:
             ddl = schema
         lines = (

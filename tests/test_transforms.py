@@ -172,6 +172,49 @@ def test_asof_join_semantics_including_equal_ts(spark):
     assert len(got) == 4                   # left join: all left rows kept
 
 
+def test_asof_join_null_column_no_splice(spark):
+    # the latest right row has a legitimate NULL in one value column —
+    # the output must carry that row's image ATOMICALLY, not splice the
+    # NULL column from an older right row (DuckDB ASOF semantics)
+    from chomper_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k1", 30, "e")], "k string, ts int, ev string")
+    right = spark.createDataFrame(
+        [("k1", 10, "old_v", "old_w"), ("k1", 20, None, "new_w")],
+        "k string, ts int, v string, w string",
+    )
+    row = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts").collect()[0]
+    assert row["w"] == "new_w"
+    assert row["v"] is None  # NOT "old_v" — no mixed row image
+
+
+def test_asof_join_chunked_matches_unchunked_on_hot_key(spark):
+    # time-chunk salting: identical semantics, bounded per-task windows
+    from chomper_spark.operators.asof import asof_join
+
+    # hot key: 500 left events + 50 right updates on one key, plus a
+    # normal key and a right-less key; chunk boundaries cut both inside
+    # and between right updates
+    left = spark.createDataFrame(
+        [("hot", t, f"e{t}") for t in range(500)]
+        + [("cold", 7, "c7"), ("bare", 3, "b3")],
+        "k string, ts int, ev string",
+    )
+    right = spark.createDataFrame(
+        [("hot", t * 10 + 1, f"v{t}") for t in range(50)] + [("cold", 5, "cv")],
+        "k string, ts int, v string",
+    )
+    base = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts")
+    chunked = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts", chunk_seconds=37
+    )
+    a = {(r["k"], r["ts"]): r["v"] for r in base.collect()}
+    b = {(r["k"], r["ts"]): r["v"] for r in chunked.collect()}
+    assert a == b and len(a) == 502
+    assert a[("hot", 499)] == "v49" and a[("hot", 0)] is None
+    assert a[("cold", 7)] == "cv" and a[("bare", 3)] is None
+
+
 def test_importer_pipeline_counters(spark, tmp_path):
     # the reference's Importer shape: name + pipeline + counters
     # (chomper/importers.py:25-89; items_processed/items_dropped :44-45)
