@@ -159,6 +159,84 @@ def _q_tx_nullify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tx_nested_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-path transforms over a struct-bearing feed: the dict-field
+    Defaulter (chomper/processors.py:181-205) on a struct column built
+    from the change feed — NULL struct materializes the defaults, NULL
+    members are filled, new keys appended.  Output is the flattened
+    leaves so the DuckDB compare stays engine-portable."""
+    from chomper_spark.operators import fields as fpath
+
+    feed = change_feed_from_events(spark, sf_dir)
+    df = feed.select(
+        "batch_seq",
+        F.when(
+            F.col("role") == "system",
+            F.lit(None).cast("struct<tool:string,score:int>"),
+        )
+        .otherwise(F.struct(F.col("tool").alias("tool"), F.col("turn_idx").alias("score")))
+        .alias("meta"),
+    )
+    out = tx.pipe(df, fpath.nested_defaults("meta", {"tool": "none", "lang": "en"}))
+    return out.select(
+        "batch_seq",
+        F.col("meta.tool").alias("m_tool"),
+        F.col("meta.score").alias("m_score"),
+        F.col("meta.lang").alias("m_lang"),
+    )
+
+
+def _q_tx_nested_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-mode Mapper inside nested fields (chomper/processors.py:302-316):
+    rename struct keys at the top level and one level down, then read
+    the renamed paths back out."""
+    from chomper_spark.operators import fields as fpath
+
+    feed = change_feed_from_events(spark, sf_dir)
+    df = feed.select(
+        "batch_seq",
+        F.struct(
+            F.col("role").alias("r"),
+            F.struct(F.col("tool").alias("tl")).alias("inner"),
+        ).alias("info"),
+    )
+    out = tx.pipe(
+        df,
+        fpath.rename_keys("info", {"r": "role"}),
+        fpath.rename_keys("info.inner", {"tl": "tool"}),
+    )
+    return out.select(
+        "batch_seq",
+        fpath.get_path("info.role").alias("i_role"),
+        fpath.get_path("info.inner.tool").alias("i_tool"),
+    )
+
+
+def _q_tx_nested_pathset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed-path writes (examples/fields.py:34-41): per-path scalar
+    map on turns[0].n (NULL-skip), literal set on turns[1].n — array
+    elements rebuilt via transform, no Python."""
+    from chomper_spark.operators import fields as fpath
+
+    feed = change_feed_from_events(spark, sf_dir)
+    df = feed.select(
+        "batch_seq",
+        F.array(
+            F.struct(F.col("text").alias("n")), F.struct(F.col("tool").alias("n"))
+        ).alias("turns"),
+    )
+    out = tx.pipe(
+        df,
+        fpath.scalar_map_path("turns[0].n", lambda c: F.upper(c)),
+        fpath.set_path("turns[1].n", F.lit("x")),
+    )
+    return out.select(
+        "batch_seq",
+        fpath.get_path("turns[0].n").alias("t0"),
+        fpath.get_path("turns[1].n").alias("t1"),
+    )
+
+
 def _q_apply_final_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the merge-on-read engine must converge to the SAME final state
     # (one shared oracle for both sink modes)
@@ -289,6 +367,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_rename_pick_omit": _q_tx_rename_pick,
         "tx_nullify_field": _q_tx_nullify,
         "tx_lookup_join": _q_lookup_join,
+        "tx_nested_defaults": _q_tx_nested_defaults,
+        "tx_nested_rename": _q_tx_nested_rename,
+        "tx_nested_pathset": _q_tx_nested_pathset,
         "tx_surrogate_id": _q_surrogate_id,
         "conv_sessionize": _q_sessionize,
         "skew_salted_conv_counts": _q_salted_counts,
@@ -361,6 +442,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, o_totalprice, c_name, c_mktsegment "
             "FROM orders LEFT JOIN customer ON o_custkey = c_custkey "
             "WHERE o_orderstatus = 'O'"
+        ),
+        "tx_nested_defaults": (
+            f"WITH {_FEED_CTE} "
+            "SELECT batch_seq, "
+            "CASE WHEN role = 'system' THEN 'none' ELSE coalesce(tool, 'none') END AS m_tool, "
+            "CASE WHEN role = 'system' THEN NULL ELSE turn_idx END AS m_score, "
+            "'en' AS m_lang FROM feed"
+        ),
+        "tx_nested_rename": (
+            f"WITH {_FEED_CTE} "
+            "SELECT batch_seq, role AS i_role, tool AS i_tool FROM feed"
+        ),
+        "tx_nested_pathset": (
+            f"WITH {_FEED_CTE} "
+            "SELECT batch_seq, upper(text) AS t0, 'x' AS t1 FROM feed"
         ),
         "tx_surrogate_id": (
             f"WITH {_FEED_CTE} "

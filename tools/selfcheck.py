@@ -48,9 +48,11 @@ def main() -> int:
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         try:
             got = normalize(fn(spark, sf_dir).toPandas())
         except Exception as e:  # noqa: BLE001
@@ -80,7 +82,7 @@ def main() -> int:
         except AssertionError as e:
             failures.append((name, str(e).splitlines()[-1]))
             print(f"FAIL {name}: value mismatch: {str(e).splitlines()[-1]}")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match")
+    print(f"\n{n_run - len(failures)}/{n_run} queries match")
     return 1 if failures else 0
 
 
