@@ -130,26 +130,63 @@ def _pair_jaccard(sh: DataFrame, pairs_from: DataFrame | None = None) -> DataFra
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
-    """Near-dup pairs with exact n-gram Jaccard ≥ threshold.  Candidate
-    generation via the shared-shingle join is lossless for any
-    threshold > 0."""
+MAX_SHINGLE_DF = 500  # candidate-generation document-frequency cap
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.8, max_df: int = MAX_SHINGLE_DF
+) -> DataFrame:
+    """Near-dup pairs with exact n-gram Jaccard ≥ threshold.
+
+    Candidate generation joins on shared shingles but DROPS shingles
+    whose document frequency exceeds ``max_df`` first: a shingle in d
+    docs emits O(d²) candidate pairs, so one stop-word trigram ("of
+    the and") at corpus scale is a cartesian product wearing a join
+    key.  Standard DF-capping; recall loss at threshold ≥ 0.8 is tiny
+    because a ≥0.8-Jaccard pair shares many shingles and only the
+    globally-common ones are dropped.  The exact Jaccard verify still
+    uses the FULL shingle sets — the cap only limits which pairs are
+    considered, mirrored exactly in the DuckDB oracle."""
     sh = shingles(docs)
-    return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
+    w = Window.partitionBy("shingle")
+    rare = (
+        sh.withColumn("_df", F.count(F.lit(1)).over(w))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
+    )
+    cand = (
+        rare.alias("a")
+        .join(rare.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _pair_jaccard(sh, pairs_from=cand).filter(F.col("jaccard") >= threshold)
 
 
-def ngram_jaccard_sql(threshold: float = 0.8) -> str:
+def ngram_jaccard_sql(threshold: float = 0.8, max_df: int = MAX_SHINGLE_DF) -> str:
     return f"""
 WITH su AS ({_shingles_sql()}),
+rare AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS _df FROM su)
+  WHERE _df <= {max_df}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
 sz AS (SELECT doc_id, count(*) AS n_sh FROM su GROUP BY doc_id),
 common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-  FROM su a JOIN su b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  SELECT c.doc_a, c.doc_b, count(*) AS common
+  FROM cand c
+  JOIN su a ON a.doc_id = c.doc_a
+  JOIN su b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
   GROUP BY 1, 2
 )
-SELECT doc_a, doc_b,
+SELECT c.doc_a, c.doc_b,
        round(common::DOUBLE / (x.n_sh + y.n_sh - common)::DOUBLE, 6) AS jaccard
-FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+FROM common c JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id
 WHERE round(common::DOUBLE / (x.n_sh + y.n_sh - common)::DOUBLE, 6) >= {threshold}
 """
 

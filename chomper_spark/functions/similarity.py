@@ -4,11 +4,12 @@ Two paths, as a 100 TB pipeline needs:
   * brute-force cosine top-k — the exactness baseline.  The (small)
     query set is broadcast, so the scan side never shuffles; cosine is
     a codegen'd explicit double sum (no Python, no UDF).
-  * LSH-bucketed ANN — the scale path: a deterministic random-
-    hyperplane signature buckets vectors; candidates come from an
-    equi-join on the bucket id (shuffle on a small int key), cosine is
-    verified only within buckets.  Hyperplanes are derived from md5 so
-    the DuckDB oracle reproduces the exact same buckets.
+  * banded LSH ANN — the scale path: B bands of R deterministic
+    random hyperplanes each (2^R buckets per band); candidates come
+    from an equi-join on (band, bucket) — small int keys, membership
+    capped per bucket — and cosine is verified only on candidates.
+    Hyperplanes are derived from md5 so the DuckDB oracle reproduces
+    the exact same buckets, melt, cap, and candidates.
 
 Floating-point determinism: every dot product is an EXPLICIT
 left-associated sum of float→double products, generated identically
@@ -25,8 +26,23 @@ from pyspark.sql import DataFrame, Window, functions as F
 DIM = 64
 N_QUERIES = 8
 TOP_K = 5
-N_PLANES = 4  # 16 buckets
 LSH_TOP_K = 3
+# Banded random-hyperplane LSH (the MinHash-banding shape applied to
+# cosine space): B bands × R planes each → 2^R buckets per band, a pair
+# is a candidate if ANY band agrees on all R bits.  R=8 gives 256
+# buckets per band — at 10^10 vectors each band-bucket holds ~n/256
+# (not n/16), and the union-over-bands recovers the recall a single
+# high-R signature loses: P(candidate) = 1 - (1 - p^R)^B for per-plane
+# agreement p = 1 - θ/π.  For a 0.95-cosine near-dup pair: p≈0.90,
+# one 8-plane band hits 43%, six bands 97%.
+LSH_BANDS = 4
+LSH_ROWS = 8  # planes per band → 2^8 = 256 buckets per band
+NEARDUP_BANDS = 6  # near-dup wants higher recall at high cosine
+# Per-(band, bucket) member cap: a degenerate bucket (mass duplicates,
+# zero vectors) would otherwise go quadratic.  Members beyond the cap
+# (deterministic: lowest vec_ids kept) emit no candidates from that
+# band; lsh_candidate_stats() reports what was dropped.
+BUCKET_CAP = 10_000
 
 
 def _dot_sql(a_elem: str, b_elem: str, dim: int = DIM) -> str:
@@ -93,10 +109,10 @@ WHERE rank <= {top_k}
 """
 
 
-# ------------------------------------------------------- LSH-bucketed ANN
+# --------------------------------------------- banded random-hyperplane LSH
 
 
-def _planes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
+def _planes(n_planes: int, dim: int = DIM) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: component (p, d) =
     hex60(md5(f"{p}_{d}")) / 2^59 - 1  ∈ [-1, 1).  Computed in Python
     (hashlib md5 == Spark/DuckDB md5) and embedded as double literals
@@ -111,64 +127,185 @@ def _planes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
     return out
 
 
-def _sig_sql(elem: str, col: str, n_planes: int = N_PLANES, dim: int = DIM) -> str:
-    planes = _planes(n_planes, dim)
+def _band_bucket_sql(
+    elem: str, col: str, band: int, rows: int, dim: int = DIM
+) -> str:
+    """Bucket id for one band: R sign bits of plane dot products.
+    Planes are indexed globally (band*R + r) so bands are independent."""
+    planes = _planes((band + 1) * rows, dim)
     e = elem.format(col=col)
     bits = []
-    for p in range(n_planes):
+    for r in range(rows):
+        p = band * rows + r
         dot = " + ".join(
             f"{e.format(d=d)} * {planes[p][d - 1]!r}" for d in range(1, dim + 1)
         )
-        bits.append(f"(CASE WHEN ({dot}) >= 0.0 THEN {1 << p} ELSE 0 END)")
+        bits.append(f"(CASE WHEN ({dot}) >= 0.0 THEN {1 << r} ELSE 0 END)")
     return "(" + " + ".join(bits) + ")"
+
+
+def _banded(
+    emb: DataFrame, bands: int, rows: int, dim: int, cap: int
+) -> DataFrame:
+    """Melt each vector into (vec_id, band_idx, bucket) rows, capped at
+    ``cap`` members per (band, bucket) — deterministic (lowest vec_ids
+    kept), mirrored exactly in the SQL oracle.  The melt carries ONLY
+    the id + two small ints: the 64-float payload never rides the
+    candidate shuffle (it is joined back by id for verification)."""
+    sig = emb.select(
+        "vec_id",
+        *[
+            F.expr(_band_bucket_sql(_SP, "embedding", b, rows, dim))
+            .cast("int")
+            .alias(f"band{b}")
+            for b in range(bands)
+        ],
+    )
+    melted = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("bucket")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band_idx", "bb.bucket")
+    w = Window.partitionBy("band_idx", "bucket").orderBy("vec_id")
+    return melted.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= cap
+    ).drop("_rn")
+
+
+def _banded_sql(elem: str, bands: int, rows: int, dim: int, cap: int) -> str:
+    """The DuckDB twin of ``_banded``: sig CTE + UNION ALL melt + cap."""
+    band_cols = ", ".join(
+        f"{_band_bucket_sql(elem, 'embedding', b, rows, dim)}::INT AS band{b}"
+        for b in range(bands)
+    )
+    melt = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_idx, band{b} AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+sig AS (SELECT vec_id, {band_cols} FROM embeddings),
+melted AS ({melt}),
+capped AS (
+  SELECT vec_id, band_idx, bucket FROM (
+    SELECT vec_id, band_idx, bucket,
+           row_number() OVER (PARTITION BY band_idx, bucket ORDER BY vec_id) AS _rn
+    FROM melted)
+  WHERE _rn <= {cap}
+)"""
+
+
+def lsh_candidate_stats(
+    emb: DataFrame,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    dim: int = DIM,
+    cap: int = BUCKET_CAP,
+) -> DataFrame:
+    """Per-(band, bucket) occupancy + what the cap would drop — the
+    "no silent caps" counter: members_dropped vectors emit no
+    candidates from that band.  One aggregate over the melt."""
+    sig = emb.select(
+        "vec_id",
+        *[
+            F.expr(_band_bucket_sql(_SP, "embedding", b, rows, dim))
+            .cast("int")
+            .alias(f"band{b}")
+            for b in range(bands)
+        ],
+    )
+    melted = sig.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("bucket")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("bb.band_idx", "bb.bucket")
+    return melted.groupBy("band_idx", "bucket").agg(
+        F.count(F.lit(1)).alias("members"),
+        F.greatest(F.count(F.lit(1)) - F.lit(cap), F.lit(0)).alias("members_dropped"),
+    )
 
 
 def lsh_bucketed_ann(
     emb: DataFrame,
-    n_planes: int = N_PLANES,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
     top_k: int = LSH_TOP_K,
     dim: int = DIM,
+    cap: int = BUCKET_CAP,
 ) -> DataFrame:
-    """ANN via random-hyperplane buckets: equi-join on the bucket id,
-    exact cosine within buckets, top-k per vector.  At 10^10 vectors
-    the bucket id is the shuffle key (16–4096 buckets → repartition by
-    bucket, each task brute-forces its bucket)."""
-    sig = F.expr(_sig_sql(_SP, "embedding", n_planes, dim)).cast("int")
-    b = emb.select("vec_id", "embedding", sig.alias("bucket"))
-    a_side = b.select(
-        F.col("vec_id"), F.col("embedding").alias("a_emb"), "bucket"
+    """ANN via banded hyperplane LSH: candidates = pairs agreeing on
+    ALL R bits of at least one band (union over bands, 2^R buckets per
+    band), exact cosine verified on candidates only, top-k per vector.
+
+    Scale shape: the self-join key is (band_idx, bucket) — 2^R ≥ 256
+    buckets per band, per-bucket membership capped — so candidate
+    generation is bounded and never all-pairs; the embedding payload
+    joins back by vec_id only for the verify step."""
+    capped = _banded(emb, bands, rows, dim, cap)
+    cand = (
+        capped.alias("a")
+        .join(capped.alias("b"), ["band_idx", "bucket"])
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("neighbor_id"))
+        .distinct()
     )
-    b_side = b.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"), "bucket"
+    a_emb = emb.select(F.col("vec_id"), F.col("embedding").alias("a_emb"))
+    n_emb = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
     )
     sim = F.expr(_cosine_sql("a_emb", "n_emb", _SP, dim))
     scored = (
-        a_side.join(b_side, "bucket")
-        .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .select("vec_id", "bucket", "neighbor_id", sim.alias("sim"))
+        cand.join(a_emb, "vec_id")
+        .join(n_emb, "neighbor_id")
+        .select("vec_id", "neighbor_id", sim.alias("sim"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
-        .select("vec_id", "bucket", "neighbor_id", "rank")
+        .select("vec_id", "neighbor_id", "rank")
     )
 
 
 def lsh_bucketed_ann_sql(
-    n_planes: int = N_PLANES, top_k: int = LSH_TOP_K, dim: int = DIM
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    top_k: int = LSH_TOP_K,
+    dim: int = DIM,
+    cap: int = BUCKET_CAP,
 ) -> str:
-    sig = _sig_sql(_DK, "embedding", n_planes, dim)
-    cos = _cosine_sql("a_emb", "n_emb", _DK, dim)
+    cos = _cosine_sql("a_emb", "n_emb", _DK, dim).replace(
+        "a_emb", "ea.embedding"
+    ).replace("n_emb", "eb.embedding")
     return f"""
-WITH b AS (SELECT vec_id, embedding, {sig}::INT AS bucket FROM embeddings),
+WITH {_banded_sql(_DK, bands, rows, dim, cap)},
+cand AS (
+  SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
+  FROM capped a JOIN capped b
+    ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
 s AS (
-  SELECT a.vec_id, a.bucket, b.vec_id AS neighbor_id,
-         {cos.replace('a_emb', 'a.embedding').replace('n_emb', 'b.embedding')} AS sim
-  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+  SELECT c.vec_id, c.neighbor_id, {cos} AS sim
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.vec_id
+  JOIN embeddings eb ON eb.vec_id = c.neighbor_id
 )
-SELECT vec_id, bucket, neighbor_id, rank FROM (
-  SELECT vec_id, bucket, neighbor_id,
+SELECT vec_id, neighbor_id, rank FROM (
+  SELECT vec_id, neighbor_id,
          row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
   FROM s)
 WHERE rank <= {top_k}
@@ -179,34 +316,56 @@ WHERE rank <= {top_k}
 
 
 def embedding_neardup_pairs(
-    emb: DataFrame, threshold: float = 0.4, n_planes: int = N_PLANES, dim: int = DIM
+    emb: DataFrame,
+    threshold: float = 0.4,
+    bands: int = NEARDUP_BANDS,
+    rows: int = LSH_ROWS,
+    dim: int = DIM,
+    cap: int = BUCKET_CAP,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: LSH-bucket candidates →
-    exact cosine ≥ threshold.  Integer-only output (ids); the rounded
-    similarity is exported at 6 decimals (bit-exact arithmetic)."""
-    sig = F.expr(_sig_sql(_SP, "embedding", n_planes, dim)).cast("int")
-    b = emb.select("vec_id", "embedding", sig.alias("bucket"))
-    a_side = b.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb"), "bucket")
-    b_side = b.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("n_emb"), "bucket")
+    """Embedding-cosine near-duplicate pairs: banded-LSH candidates →
+    exact cosine ≥ threshold.  Six 8-plane bands: a 0.95-cosine pair is
+    recalled with P ≈ 0.97 (see module constants), while candidate
+    volume stays O(n · B / 2^R) per bucket — never all-pairs."""
+    capped = _banded(emb, bands, rows, dim, cap)
+    cand = (
+        capped.alias("a")
+        .join(capped.alias("b"), ["band_idx", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    a_emb = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb"))
+    b_emb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("n_emb"))
     sim = F.expr(_cosine_sql("a_emb", "n_emb", _SP, dim))
     return (
-        a_side.join(b_side, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        cand.join(a_emb, "vec_a")
+        .join(b_emb, "vec_b")
         .select("vec_a", "vec_b", F.round(sim, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 
 
 def embedding_neardup_sql(
-    threshold: float = 0.4, n_planes: int = N_PLANES, dim: int = DIM
+    threshold: float = 0.4,
+    bands: int = NEARDUP_BANDS,
+    rows: int = LSH_ROWS,
+    dim: int = DIM,
+    cap: int = BUCKET_CAP,
 ) -> str:
-    sig = _sig_sql(_DK, "embedding", n_planes, dim)
-    cos = _cosine_sql("a_emb", "n_emb", _DK, dim).replace("a_emb", "a.embedding").replace(
-        "n_emb", "b.embedding"
-    )
+    cos = _cosine_sql("a_emb", "n_emb", _DK, dim).replace(
+        "a_emb", "ea.embedding"
+    ).replace("n_emb", "eb.embedding")
     return f"""
-WITH b AS (SELECT vec_id, embedding, {sig}::INT AS bucket FROM embeddings)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({cos}, 6) AS cosine
-FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WITH {_banded_sql(_DK, bands, rows, dim, cap)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM capped a JOIN capped b
+    ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b, round({cos}, 6) AS cosine
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.vec_a
+JOIN embeddings eb ON eb.vec_id = c.vec_b
 WHERE round({cos}, 6) >= {threshold}
 """

@@ -105,19 +105,76 @@ def test_ann_bruteforce_topk(spark):
 
 
 def test_lsh_buckets_group_similar_vectors(spark):
-    out = sim.lsh_bucketed_ann(_emb(spark), n_planes=4, top_k=2, dim=4)
+    out = sim.lsh_bucketed_ann(_emb(spark), bands=4, rows=4, top_k=2, dim=4)
     rows = out.collect()
-    # identical-direction vectors must land in the same bucket and find
-    # each other; opposite vectors must not be each other's neighbors
+    # identical-direction vectors agree on every band and find each
+    # other; opposite vectors disagree on every plane that separates
+    # them, so they are never each other's neighbors
     got = {(r["vec_id"], r["neighbor_id"]) for r in rows}
     assert (0, 1) in got and (1, 0) in got
     assert (0, 4) not in got
 
 
 def test_embedding_neardup_pairs(spark):
-    out = sim.embedding_neardup_pairs(_emb(spark), threshold=0.9, n_planes=4, dim=4)
+    out = sim.embedding_neardup_pairs(_emb(spark), threshold=0.9, bands=4, rows=4, dim=4)
     pairs = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in out.collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+
+
+def test_lsh_bucket_cap_bounds_candidates_on_skew(spark):
+    # degenerate fixture: 60 identical vectors — every band puts all of
+    # them in ONE bucket.  Uncapped that is 60×59 directed candidates;
+    # with cap=10 only the 10 lowest vec_ids per (band, bucket) emit
+    # candidates, so the candidate pool is bounded by bands·cap·(cap-1).
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.5, 0.25, 0.125]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    capped = sim._banded(emb, bands=2, rows=4, dim=4, cap=10)
+    cand = (
+        capped.alias("a")
+        .join(capped.alias("b"), ["band_idx", "bucket"])
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(F.col("a.vec_id"), F.col("b.vec_id"))
+        .distinct()
+    )
+    n = cand.count()
+    assert 0 < n <= 10 * 9  # distinct pairs: both bands share one bucket
+    stats = sim.lsh_candidate_stats(emb, bands=2, rows=4, dim=4, cap=10).collect()
+    assert all(r["members"] == 60 and r["members_dropped"] == 50 for r in stats)
+    assert len(stats) == 2  # one hot bucket per band
+    # the query itself stays bounded and deterministic under the cap
+    out = sim.lsh_bucketed_ann(emb, bands=2, rows=4, top_k=1, dim=4, cap=10)
+    assert out.count() == 10  # only capped members surface neighbors
+
+
+def test_ngram_jaccard_df_cap_bounds_candidates(spark):
+    # planted hot shingle: every doc shares the phrase "of the and" —
+    # uncapped candidate generation is O(docs²); with max_df the hot
+    # shingles emit nothing and candidates stay O(planted near-dups)
+    docs = spark.createDataFrame(
+        [(i, f"of the and unique{i} token{i} word{i}") for i in range(40)]
+        + [(100, "aa bb cc dd ee"), (101, "aa bb cc dd ee")],  # true near-dup
+        "doc_id long, text string",
+    )
+    out = dd.ngram_jaccard_pairs(docs, threshold=0.8, max_df=5)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    assert pairs == {(100, 101)}
+    # candidate pool (pre-verify) is bounded: the 40 hot docs share
+    # only capped-out shingles, so they produce zero candidates
+    sh = dd.shingles(docs)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shingle")
+    rare = sh.withColumn("_df", F.count(F.lit(1)).over(w)).filter(F.col("_df") <= 5)
+    cand = (
+        rare.alias("a")
+        .join(rare.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+    )
+    assert cand.count() == 1  # only the planted near-dup pair
 
 
 def test_multimodal_plumbing_fake_decode(spark):
