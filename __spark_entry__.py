@@ -275,6 +275,68 @@ def _q_field_change_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_apply_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 .timestamps(): replay the feed through an audit sink with a
+    deterministic per-batch time (batch b → 2026-01-01 + b days);
+    created_at must survive updates while updated_at advances.
+
+    5 batches, not the usual 4: turn_idx cycles mod 32 and batch_seq%4
+    divides it, so %4 would pin every key to ONE batch and no key would
+    ever see a cross-batch update — %5 (coprime with 32) spreads each
+    key's events across batches, actually exercising the audit arms."""
+    import datetime as dt
+
+    feed = with_batch_id(change_feed_from_events(spark, sf_dir), 5).persist()
+    sink = SnapshotMergeSink(
+        spark,
+        tempfile.mkdtemp(prefix="chomper_spark_audit_"),
+        n_buckets=16,
+        audit_timestamps=True,
+    )
+    for b in range(5):
+        sink.apply_batch(
+            feed.filter(F.col("batch_id") == b).drop("batch_id"),
+            batch_id=b,
+            batch_time=dt.datetime(2026, 1, 1) + dt.timedelta(days=b),
+            collect_metrics=False,
+        )
+    feed.unpersist()
+    return sink.read().select(
+        "conv_id", "turn_idx", "text", "created_at", "updated_at"
+    )
+
+
+def _q_change_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full E6: the per-field change-audit rows the engine emits while
+    applying the feed (chomper/contrib/sql/exporters.py:304-333) —
+    (key, field, old, new, batch_id) for every applied UPDATE that
+    changed a listened field on a live row.  5 batches — see
+    _q_apply_timestamps for why %4 batching would make this vacuous."""
+    feed = with_batch_id(change_feed_from_events(spark, sf_dir), 5).persist()
+    sink = SnapshotMergeSink(
+        spark, tempfile.mkdtemp(prefix="chomper_spark_chg_"), n_buckets=16
+    )
+    for b in range(5):
+        sink.apply_batch(
+            feed.filter(F.col("batch_id") == b).drop("batch_id"),
+            batch_id=b,
+            listen_fields=("text", "role"),
+            emit_change_rows=True,
+            collect_metrics=False,
+        )
+    feed.unpersist()
+    ch = sink.read_changes()
+    if ch is None:
+        return spark.createDataFrame(
+            [],
+            "conv_id string, turn_idx int, field string, "
+            "old_value string, new_value string, batch_id long",
+        )
+    return ch.select(
+        "conv_id", "turn_idx", "field", "old_value", "new_value", "batch_id"
+    )
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time lookup: for each event, the user's latest order
     at-or-before the event timestamp (custom as-of join operator)."""
@@ -374,6 +436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_sessionize": _q_sessionize,
         "skew_salted_conv_counts": _q_salted_counts,
         "cdc_apply_final_state_mor": _q_apply_final_mor,
+        "cdc_apply_timestamps": _q_apply_timestamps,
+        "cdc_change_rows": _q_change_rows,
         "asof_join_last_order": _q_asof_join,
         "conv_assemble_text": _q_conv_assemble,
         "tx_field_change_counts": _q_field_change_counts,
@@ -480,6 +544,53 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, count(*) AS n_events FROM feed GROUP BY conv_id"
         ),
         "cdc_apply_final_state_mor": FINAL_STATE_SQL,
+        # created_at = batch time of the key's FIRST batch (its first
+        # event materializes the state row, live or tombstone);
+        # updated_at = batch time of the batch holding the key's
+        # globally-latest event (that batch's apply always wins, and no
+        # later batch can beat it) — see SnapshotMergeSink audit logic.
+        "cdc_apply_timestamps": (
+            f"WITH {_FEED_CTE}, "
+            "batched AS (SELECT *, CAST(batch_seq % 5 AS INTEGER) AS batch_id FROM feed), "
+            "firstb AS (SELECT conv_id, turn_idx, min(batch_id) AS cb "
+            "FROM batched GROUP BY 1, 2), "
+            "latest AS (SELECT conv_id, turn_idx, batch_id AS ub, op, text FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx "
+            "ORDER BY op_ts DESC, batch_seq DESC) AS rn FROM batched) WHERE rn = 1) "
+            "SELECT l.conv_id, l.turn_idx, l.text, "
+            "TIMESTAMP '2026-01-01 00:00:00' + INTERVAL (f.cb) DAY AS created_at, "
+            "TIMESTAMP '2026-01-01 00:00:00' + INTERVAL (l.ub) DAY AS updated_at "
+            "FROM latest l JOIN firstb f "
+            "ON l.conv_id = f.conv_id AND l.turn_idx = f.turn_idx "
+            "WHERE l.op <> 'D'"
+        ),
+        # the applied-event sequence per key = each batch's newest event
+        # iff it beats every earlier batch's newest; change rows compare
+        # consecutive applied events on live (non-deleted) state.
+        "cdc_change_rows": (
+            f"WITH {_FEED_CTE}, "
+            "batched AS (SELECT *, CAST(batch_seq % 5 AS INTEGER) AS batch_id FROM feed), "
+            "cand AS (SELECT * FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx, batch_id "
+            "ORDER BY op_ts DESC, batch_seq DESC) AS rn FROM batched) WHERE rn = 1), "
+            "applied AS (SELECT * FROM cand a WHERE NOT EXISTS ("
+            "SELECT 1 FROM cand e WHERE e.conv_id = a.conv_id "
+            "AND e.turn_idx = a.turn_idx AND e.batch_id < a.batch_id "
+            "AND (e.op_ts > a.op_ts OR (e.op_ts = a.op_ts AND e.batch_seq > a.batch_seq)))), "
+            "seq AS (SELECT conv_id, turn_idx, batch_id, op, text, role, "
+            "lag(op) OVER w AS prev_op, lag(text) OVER w AS prev_text, "
+            "lag(role) OVER w AS prev_role FROM applied "
+            "WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY batch_id)) "
+            "SELECT conv_id, turn_idx, 'text' AS field, prev_text AS old_value, "
+            "text AS new_value, CAST(batch_id AS BIGINT) AS batch_id FROM seq "
+            "WHERE prev_op IS NOT NULL AND prev_op <> 'D' AND op <> 'D' "
+            "AND text IS DISTINCT FROM prev_text "
+            "UNION ALL "
+            "SELECT conv_id, turn_idx, 'role' AS field, prev_role AS old_value, "
+            "role AS new_value, CAST(batch_id AS BIGINT) AS batch_id FROM seq "
+            "WHERE prev_op IS NOT NULL AND prev_op <> 'D' AND op <> 'D' "
+            "AND role IS DISTINCT FROM prev_role"
+        ),
         "asof_join_last_order": (
             "WITH ro AS (SELECT o_custkey AS user_id, "
             "CAST(o_orderdate AS TIMESTAMP) AS ots, "

@@ -68,6 +68,17 @@ _MANIFEST_RE = re.compile(r"^m\d{8}\.json$")
 _SESSION_CONF_LOCK = threading.Lock()
 
 
+def _obs_row(obs) -> dict:
+    """Read an Observation's metrics, tolerating elimination: when a
+    batch is a statically-empty relation, PropagateEmptyRelation
+    rewrites the subtree and the CollectMetrics node never fires —
+    the true counts are then all zero."""
+    try:
+        return dict(obs.get)
+    except Exception:  # noqa: BLE001 - JVM assertion when node eliminated
+        return {}
+
+
 @dataclass
 class MergeMetrics:
     batch_id: int
@@ -87,10 +98,20 @@ class MergeMetrics:
         return dict(self.__dict__)
 
 
-def _meta_schema(payload: T.StructType) -> T.StructType:
-    """State schema = key+payload columns + version/tombstone metadata."""
+def _meta_schema(payload: T.StructType, audit: bool = False) -> T.StructType:
+    """State schema = key+payload columns [+ audit timestamps]
+    + version/tombstone metadata."""
+    audit_fields = (
+        [
+            T.StructField(S.AUDIT_CREATED, T.TimestampType(), True),
+            T.StructField(S.AUDIT_UPDATED, T.TimestampType(), True),
+        ]
+        if audit
+        else []
+    )
     return T.StructType(
         list(payload.fields)
+        + audit_fields
         + [
             T.StructField(S.META_OP_TS, T.TimestampType(), False),
             T.StructField(S.META_BATCH_SEQ, T.LongType(), False),
@@ -122,12 +143,20 @@ class SnapshotMergeSink:
         compact_on_write: bool = True,
         write_mode: str = "cow",
         mor_compact_threshold: int = 8,
+        audit_timestamps: bool = False,
     ):
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
         self.key_cols = key_cols or S.KEY_COLS
         self.version_cols = version_cols or S.VERSION_COLS
+        # audit_timestamps: E9 .timestamps() (chomper/contrib/sql/
+        # exporters.py:110-145, tests/test_sql.py:116-128) — created_at
+        # set when a key's state row first materializes, updated_at
+        # advanced on every applied change; both parameterized by the
+        # apply_batch(batch_time=...) argument, never current_timestamp()
+        # (replay must be deterministic).  Needs the pre-image → COW only.
+        self.audit_timestamps = audit_timestamps
         # compact_on_write: repartition by bucket before the snapshot write
         # → exactly one file per bucket.  Measured 4× faster end-to-end than
         # skipping the shuffle: without it every shuffle task writes a file
@@ -263,6 +292,19 @@ class SnapshotMergeSink:
             return None
         return st.filter(~F.col(S.META_DELETED)).drop(*S.META_COLS)
 
+    def read_changes(self) -> DataFrame | None:
+        """The per-field change-audit table written by
+        ``apply_batch(emit_change_rows=True)``: one row per
+        (key, field, old_value, new_value, batch_id) — what downstream
+        CDC consumers tail (full E6, chomper/contrib/sql/
+        exporters.py:304-333).  None if no changes were ever emitted."""
+        cdir = os.path.join(self.root, "changes")
+        if not os.path.isdir(cdir) or not os.listdir(cdir):
+            return None
+        return self.spark.read.parquet(
+            *[os.path.join(cdir, d) for d in sorted(os.listdir(cdir))]
+        )
+
     # ------------------------------------------------------------- merging
 
     def apply_batch(
@@ -274,6 +316,8 @@ class SnapshotMergeSink:
         protected: tuple[str, ...] = (),
         listen_fields: tuple[str, ...] = (),
         collect_metrics: bool = True,
+        batch_time=None,
+        emit_change_rows: bool = False,
     ) -> MergeMetrics:
         """Apply one micro-batch of change events. Idempotent.
 
@@ -281,33 +325,53 @@ class SnapshotMergeSink:
         fill target-NULL columns.  ``insert_missing=False`` — E3 Updater
         (matched-only).  ``protected`` — E11 columns never updated.
         ``listen_fields`` — E6: count per-field changes on updates.
+        ``batch_time`` — the event/commit time stamped into the E9
+        audit columns (required when ``audit_timestamps``; a datetime,
+        NOT current_timestamp, so replay is deterministic).
+        ``emit_change_rows`` — full E6: write the per-field change rows
+        (key, field, old, new, batch_id) for ``listen_fields`` to the
+        table's ``changes/`` area (idempotent per batch); read them
+        back with ``read_changes()``.
+
+        Metrics ride the merge jobs via ``df.observe`` — with
+        ``collect_metrics=True`` no extra Spark jobs run (MOR adds
+        zero; COW's only extra pass is the bucket-pruning collect that
+        runs regardless).
         """
         metrics = MergeMetrics(batch_id=batch_id)
         manifest = self.current_manifest()
         if manifest and batch_id in set(manifest["committed_batches"]):
             metrics.skipped = True
             return metrics
+        if self.audit_timestamps and batch_time is None:
+            raise ValueError("audit_timestamps sinks need batch_time=<datetime>")
+        if emit_change_rows and not listen_fields:
+            raise ValueError("emit_change_rows needs listen_fields")
 
         payload_schema = T.StructType(
-            [f_ for f_ in batch.schema.fields if f_.name not in (S.OP_COL, *self.version_cols, "batch_id")]
+            [f_ for f_ in batch.schema.fields if f_.name not in (S.OP_COL, *self.version_cols, "batch_id", *S.AUDIT_COLS)]
         )
-        # -- schema evolution against the live table schema
+        # -- schema evolution against the live table schema (audit cols
+        # are engine-managed state, never payload)
         if manifest:
             cur_state_schema = T.StructType.fromJson(json.loads(manifest["schema"]))
             cur_payload = T.StructType(
-                [f_ for f_ in cur_state_schema.fields if f_.name not in S.META_COLS]
+                [f_ for f_ in cur_state_schema.fields if f_.name not in (*S.META_COLS, *S.AUDIT_COLS)]
             )
             new_payload, report = evolve_schema(cur_payload, payload_schema)
             metrics.schema_added = report.added_columns
             metrics.schema_widened = report.widened_columns
         else:
             new_payload = payload_schema
-        state_schema = _meta_schema(new_payload)
+        state_schema = _meta_schema(new_payload, audit=self.audit_timestamps)
         payload_cols = [f_.name for f_ in new_payload.fields]
         data_cols = [c for c in payload_cols if c not in self.key_cols]
 
+        obs_in = obs_merge = obs_write = None
         if collect_metrics:
-            metrics.events_in = batch.count()
+            from pyspark.sql import Observation
+
+            obs_in, obs_merge, obs_write = Observation(), Observation(), Observation()
 
         # -- project the raw batch to the (evolved) payload + version/meta
         # columns, with the widen-stable bucket id (pure codegen, no action)
@@ -324,20 +388,26 @@ class SnapshotMergeSink:
             F.col(self.version_cols[0]).alias(S.META_OP_TS),
             F.col(self.version_cols[1]).cast("long").alias(S.META_BATCH_SEQ),
         ).withColumn(_BUCKET, self._bucket_expr())
+        if collect_metrics:
+            # events_in piggybacks on whatever action consumes the plan
+            projected = projected.observe(obs_in, F.count(F.lit(1)).alias("n"))
 
         evolved = bool(metrics.schema_added or metrics.schema_widened)
-        special = bool(update_only_nulls or not insert_missing or protected or listen_fields)
+        special = bool(
+            update_only_nulls or not insert_missing or protected or listen_fields
+            or self.audit_timestamps
+        )
         if self.write_mode == "mor":
             if special:
                 raise ValueError(
                     "update_only_nulls / insert_missing=False / protected / "
-                    "listen_fields need the pre-image at write time — use "
-                    "write_mode='cow'"
+                    "listen_fields / audit_timestamps need the pre-image at "
+                    "write time — use write_mode='cow'"
                 )
             if not evolved:
                 return self._apply_mor(
                     projected, manifest, batch_id, state_schema, payload_cols,
-                    metrics, collect_metrics,
+                    metrics, collect_metrics, obs_in, obs_merge,
                 )
             # schema evolution falls through to the COW full rewrite below
             # (all buckets touched), which also folds existing delta chains
@@ -347,8 +417,13 @@ class SnapshotMergeSink:
         # in operators/dedup.py is semantically identical)
         src = dedup_latest_agg(
             projected, self.key_cols, [S.META_OP_TS, S.META_BATCH_SEQ]
-        ).persist()
-        # -- bucket pruning: only read/rewrite the buckets this batch touches
+        )
+        if collect_metrics:
+            src = src.observe(obs_merge, F.count(F.lit(1)).alias("n"))
+        src = src.persist()
+        # -- bucket pruning: only read/rewrite the buckets this batch
+        # touches.  This collect also materializes the (cached) dedup and
+        # populates the events_in / merge_rows observations for free.
         touched = sorted(r[0] for r in src.select(_BUCKET).distinct().collect())
         if manifest and evolved:
             # schema evolution (rare) → rewrite every live bucket (bases
@@ -361,24 +436,35 @@ class SnapshotMergeSink:
             )
         metrics.buckets_touched = len(touched)
         if collect_metrics:
-            metrics.merge_rows = src.count()
+            # observations were populated by the collect above
+            metrics.events_in = int(_obs_row(obs_in).get("n") or 0)
+            metrics.merge_rows = int(_obs_row(obs_merge).get("n") or 0)
             metrics.dedup_drops = metrics.events_in - metrics.merge_rows
 
         tgt = self._read_buckets(manifest, touched) if manifest else None
+        audit_cols = (
+            [
+                F.lit(batch_time).cast("timestamp").alias(S.AUDIT_CREATED),
+                F.lit(batch_time).cast("timestamp").alias(S.AUDIT_UPDATED),
+            ]
+            if self.audit_timestamps
+            else []
+        )
 
         if tgt is None:
             merged = src.select(
                 *payload_cols,
+                *audit_cols,
                 F.col(S.META_OP_TS),
                 F.col(S.META_BATCH_SEQ),
                 (F.col(S.OP_COL) == "D").alias(S.META_DELETED),
                 F.col(_BUCKET),
             )
             if collect_metrics:
-                agg = merged.agg(
-                    F.sum(F.when(~F.col(S.META_DELETED), 1).otherwise(0)).alias("ins")
-                ).collect()[0]
-                metrics.inserted = int(agg["ins"] or 0)
+                merged = merged.observe(
+                    obs_write,
+                    F.sum(F.when(~F.col(S.META_DELETED), 1).otherwise(0)).alias("ins"),
+                )
         else:
             # align old snapshot files to the EVOLVED schema (new columns
             # NULL-backfill, widened types cast — vectorized, JVM-side)
@@ -386,7 +472,7 @@ class SnapshotMergeSink:
                 _BUCKET, self._bucket_expr()
             )
             t, s = tgt.alias("t"), src.alias("s")
-            joined = t.join(s, on=self.key_cols, how="full_outer").persist()
+            joined = t.join(s, on=self.key_cols, how="full_outer")
 
             s_present = F.col(f"s.{S.META_OP_TS}").isNotNull()
             t_present = F.col(f"t.{S.META_OP_TS}").isNotNull()
@@ -416,25 +502,9 @@ class SnapshotMergeSink:
                     )
                 return F.when(take_src, s_c).otherwise(t_c).alias(c)
 
-            merged = joined.select(
-                *self.key_cols,
-                *[pick(c) for c in data_cols],
-                F.when(take_src, F.col(f"s.{S.META_OP_TS}"))
-                .otherwise(F.col(f"t.{S.META_OP_TS}"))
-                .alias(S.META_OP_TS),
-                F.when(take_src, F.col(f"s.{S.META_BATCH_SEQ}"))
-                .otherwise(F.col(f"t.{S.META_BATCH_SEQ}"))
-                .alias(S.META_BATCH_SEQ),
-                F.when(take_src, F.col(f"s.{S.OP_COL}") == "D")
-                .otherwise(F.col(f"t.{S.META_DELETED}"))
-                .alias(S.META_DELETED),
-                F.coalesce(F.col(f"s.{_BUCKET}"), F.col(f"t.{_BUCKET}")).alias(_BUCKET),
-            )
-            if not insert_missing:
-                merged = merged.filter(F.col(S.META_OP_TS).isNotNull())
-
+            live_t = t_present & ~F.col(f"t.{S.META_DELETED}")
             if collect_metrics:
-                live_t = t_present & ~F.col(f"t.{S.META_DELETED}")
+                # per-op counts + field-change counts ride the write job
                 aggs = [
                     F.sum(F.when(take_src & ~live_t & (F.col(f"s.{S.OP_COL}") != "D"), 1).otherwise(0)).alias("ins"),
                     F.sum(F.when(take_src & live_t & (F.col(f"s.{S.OP_COL}") != "D"), 1).otherwise(0)).alias("upd"),
@@ -450,11 +520,75 @@ class SnapshotMergeSink:
                     ).alias(f"chg_{c}")
                     for c in listen_fields
                 ]
-                row = joined.agg(*aggs).collect()[0]
-                metrics.inserted = int(row["ins"] or 0)
-                metrics.updated = int(row["upd"] or 0)
-                metrics.deleted = int(row["del"] or 0)
-                metrics.field_changes = {c: int(row[f"chg_{c}"] or 0) for c in listen_fields}
+                joined = joined.observe(obs_write, *aggs)
+            if emit_change_rows:
+                # the changes write below is a second action over the join
+                joined = joined.persist()
+
+            if self.audit_timestamps:
+                audit_cols = [
+                    # created_at fixed at first materialization, survives
+                    # updates; updated_at advances on every applied change
+                    F.when(take_src & ~t_present, F.lit(batch_time).cast("timestamp"))
+                    .otherwise(F.col(f"t.{S.AUDIT_CREATED}"))
+                    .alias(S.AUDIT_CREATED),
+                    F.when(take_src, F.lit(batch_time).cast("timestamp"))
+                    .otherwise(F.col(f"t.{S.AUDIT_UPDATED}"))
+                    .alias(S.AUDIT_UPDATED),
+                ]
+            merged = joined.select(
+                *self.key_cols,
+                *[pick(c) for c in data_cols],
+                *audit_cols,
+                F.when(take_src, F.col(f"s.{S.META_OP_TS}"))
+                .otherwise(F.col(f"t.{S.META_OP_TS}"))
+                .alias(S.META_OP_TS),
+                F.when(take_src, F.col(f"s.{S.META_BATCH_SEQ}"))
+                .otherwise(F.col(f"t.{S.META_BATCH_SEQ}"))
+                .alias(S.META_BATCH_SEQ),
+                F.when(take_src, F.col(f"s.{S.OP_COL}") == "D")
+                .otherwise(F.col(f"t.{S.META_DELETED}"))
+                .alias(S.META_DELETED),
+                F.coalesce(F.col(f"s.{_BUCKET}"), F.col(f"t.{_BUCKET}")).alias(_BUCKET),
+            )
+            if not insert_missing:
+                merged = merged.filter(F.col(S.META_OP_TS).isNotNull())
+
+            if emit_change_rows:
+                # full E6 (chomper/contrib/sql/exporters.py:304-333): one
+                # change row per (key, listened field) whose value an
+                # applied UPDATE changed — the audit feed downstream CDC
+                # consumers tail.  Overwrite-per-batch = replay-idempotent.
+                changed_rows = joined.filter(
+                    take_src & live_t & (F.col(f"s.{S.OP_COL}") != "D")
+                ).select(
+                    *self.key_cols,
+                    F.explode(
+                        F.filter(
+                            F.array(
+                                *[
+                                    F.struct(
+                                        F.lit(c).alias("field"),
+                                        F.col(f"t.{c}").cast("string").alias("old_value"),
+                                        F.col(f"s.{c}").cast("string").alias("new_value"),
+                                        (~F.col(f"s.{c}").eqNullSafe(F.col(f"t.{c}"))).alias("_chg"),
+                                    )
+                                    for c in listen_fields
+                                ]
+                            ),
+                            lambda x: x["_chg"],
+                        )
+                    ).alias("_c"),
+                ).select(
+                    *self.key_cols,
+                    F.col("_c.field").alias("field"),
+                    F.col("_c.old_value").alias("old_value"),
+                    F.col("_c.new_value").alias("new_value"),
+                    F.lit(batch_id).cast("long").alias("batch_id"),
+                )
+                changed_rows.write.mode("overwrite").parquet(
+                    os.path.join(self.root, "changes", f"batch_id={batch_id}")
+                )
 
         # -- write the new snapshot (only touched buckets)
         snap_id = (manifest["snapshot_id"] + 1) if manifest else 0
@@ -465,8 +599,17 @@ class SnapshotMergeSink:
             merged = merged.repartition(min(self.n_buckets, max(1, len(touched))), _BUCKET)
         merged.write.mode("overwrite").partitionBy(_BUCKET).parquet(out_path)
         src.unpersist()
-        if tgt is not None:
+        if tgt is not None and emit_change_rows:
             joined.unpersist()
+        if collect_metrics:
+            row = _obs_row(obs_write)  # populated by the write job above
+            metrics.inserted = int(row.get("ins") or 0)
+            if tgt is not None:
+                metrics.updated = int(row.get("upd") or 0)
+                metrics.deleted = int(row.get("del") or 0)
+                metrics.field_changes = {
+                    c: int(row.get(f"chg_{c}") or 0) for c in listen_fields
+                }
 
         buckets = dict(manifest["buckets"]) if manifest else {}
         deltas = dict(manifest.get("deltas", {})) if manifest else {}
@@ -506,6 +649,8 @@ class SnapshotMergeSink:
         payload_cols: list[str],
         metrics: MergeMetrics,
         collect_metrics: bool,
+        obs_in=None,
+        obs_merge=None,
     ) -> MergeMetrics:
         """Merge-on-read apply: append one delta file per touched bucket
         (O(batch) write, no target read), then fold any delta chain that
@@ -551,9 +696,8 @@ class SnapshotMergeSink:
             T.StructType(state_schema.fields + [T.StructField(_BUCKET, T.IntegerType(), False)]),
         )
         if collect_metrics:
-            delta_df = delta_df.persist()
-            metrics.merge_rows = delta_df.count()
-            metrics.dedup_drops = metrics.events_in - metrics.merge_rows
+            # both counts ride the single write job — zero extra jobs
+            delta_df = delta_df.observe(obs_merge, F.count(F.lit(1)).alias("n"))
         # the MOR plan is static (explicit 64-way repartition + fused agg):
         # AQE adds only driver re-planning latency here (~1s/batch measured,
         # a core-count-independent term that caps scaling) — disable it for
@@ -566,7 +710,9 @@ class SnapshotMergeSink:
             finally:
                 self.spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         if collect_metrics:
-            delta_df.unpersist()
+            metrics.events_in = int(_obs_row(obs_in).get("n") or 0)
+            metrics.merge_rows = int(_obs_row(obs_merge).get("n") or 0)
+            metrics.dedup_drops = metrics.events_in - metrics.merge_rows
 
         buckets = dict(manifest["buckets"]) if manifest else {}
         deltas = {k: list(v) for k, v in (manifest.get("deltas", {}) if manifest else {}).items()}
@@ -691,7 +837,11 @@ class SnapshotMergeSink:
         schema = (
             manifest["schema"]
             if manifest
-            else json.dumps(_meta_schema(T.StructType(S.TRANSCRIPT.fields)).jsonValue())
+            else json.dumps(
+                _meta_schema(
+                    T.StructType(S.TRANSCRIPT.fields), audit=self.audit_timestamps
+                ).jsonValue()
+            )
         )
         self._commit(
             {

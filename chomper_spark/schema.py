@@ -66,6 +66,15 @@ META_BATCH_SEQ = "_batch_seq"
 META_DELETED = "_deleted"
 META_COLS = [META_OP_TS, META_BATCH_SEQ, META_DELETED]
 
+# E9 .timestamps() audit columns (chomper/contrib/sql/exporters.py:110-145):
+# created_at fixed at insert, updated_at advanced on every applied
+# change.  USER-VISIBLE table columns (read() keeps them), but engine-
+# managed: never sourced from the batch, always from the batch time
+# parameter — current_timestamp() would break replay determinism.
+AUDIT_CREATED = "created_at"
+AUDIT_UPDATED = "updated_at"
+AUDIT_COLS = [AUDIT_CREATED, AUDIT_UPDATED]
+
 # ---------------------------------------------------------------------------
 # Lineage / metrics table (FIXTURES.md §3)
 # ---------------------------------------------------------------------------

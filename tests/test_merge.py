@@ -254,3 +254,126 @@ def test_time_travel_read_reconstructs_any_snapshot(spark, tmp_table):
     assert s0 == {("c1", "v1")}
     assert s1 == {("c1", "v2"), ("c2", "text c2/0 v3")}
     assert s2 == {("c1", "v2")}
+
+
+def test_audit_timestamps_created_survives_updated_advances(spark, tmp_table):
+    # E9 .timestamps() (chomper/contrib/sql/exporters.py:110-145,
+    # tests/test_sql.py:116-128): created_at fixed at insert,
+    # updated_at advances on every applied change — both from the
+    # batch_time parameter, never current_timestamp().
+    import datetime as dt
+
+    from chomper_spark.operators.merge import SnapshotMergeSink
+
+    t0, t1, t2 = (dt.datetime(2026, 1, 1) + dt.timedelta(days=d) for d in range(3))
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=2, audit_timestamps=True)
+    sink.apply_batch(feed_df(spark, [ev("I", "c1", 0, 1), ev("I", "c2", 0, 2)]),
+                     batch_id=0, batch_time=t0)
+    sink.apply_batch(feed_df(spark, [ev("U", "c1", 0, 3, text="v2")]),
+                     batch_id=1, batch_time=t1)
+    # stale event (older than applied state) must NOT advance updated_at
+    sink.apply_batch(feed_df(spark, [ev("U", "c1", 0, 0, secs=0, text="stale")]),
+                     batch_id=2, batch_time=t2)
+    rows = {r["conv_id"]: r for r in sink.read().collect()}
+    assert rows["c1"]["created_at"] == t0 and rows["c1"]["updated_at"] == t1
+    assert rows["c2"]["created_at"] == t0 and rows["c2"]["updated_at"] == t0
+    assert rows["c1"]["text"] == "v2"
+    # resurrect keeps the original created_at (tombstone preserves it)
+    sink.apply_batch(feed_df(spark, [ev("D", "c2", 0, 10)]), batch_id=3, batch_time=t1)
+    sink.apply_batch(feed_df(spark, [ev("I", "c2", 0, 11)]), batch_id=4, batch_time=t2)
+    r = sink.read().filter("conv_id = 'c2'").collect()[0]
+    assert r["created_at"] == t0 and r["updated_at"] == t2
+
+
+def test_audit_timestamps_requires_batch_time_and_cow(spark, tmp_table):
+    import pytest as _pytest
+
+    from chomper_spark.operators.merge import SnapshotMergeSink
+
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=2, audit_timestamps=True)
+    with _pytest.raises(ValueError, match="batch_time"):
+        sink.apply_batch(feed_df(spark, [ev("I", "c1", 0, 1)]), batch_id=0)
+    sink_mor = SnapshotMergeSink(
+        spark, tmp_table + "_m", n_buckets=2, write_mode="mor", audit_timestamps=True
+    )
+    with _pytest.raises(ValueError, match="cow"):
+        sink_mor.apply_batch(
+            feed_df(spark, [ev("I", "c1", 0, 1)]), batch_id=0,
+            batch_time=__import__("datetime").datetime(2026, 1, 1),
+        )
+
+
+def test_change_rows_emitted_per_field(spark, tmp_table):
+    # full E6 (chomper/contrib/sql/exporters.py:304-333,
+    # tests/test_sql.py:195-210): per-field change ROWS with pre/post
+    # values, not just counts.
+    from chomper_spark.operators.merge import SnapshotMergeSink
+
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=2)
+    kw = dict(listen_fields=("text", "role"), emit_change_rows=True)
+    sink.apply_batch(feed_df(spark, [ev("I", "c1", 0, 1, text="a", role="user")]),
+                     batch_id=0, **kw)
+    sink.apply_batch(
+        feed_df(spark, [ev("U", "c1", 0, 2, text="b", role="user"),
+                        ev("I", "c2", 0, 3, text="x")]),
+        batch_id=1, **kw)
+    sink.apply_batch(feed_df(spark, [ev("U", "c1", 0, 4, text="b", role="tool")]),
+                     batch_id=2, **kw)
+    changes = sink.read_changes().collect()
+    got = {(r["batch_id"], r["conv_id"], r["field"]): (r["old_value"], r["new_value"])
+           for r in changes}
+    # batch 0: pure insert → no change rows; batch 1: text a→b only
+    # (role unchanged emits nothing); batch 2: role change only
+    assert got == {
+        (1, "c1", "text"): ("a", "b"),
+        (2, "c1", "role"): ("user", "tool"),
+    }
+    # replaying a batch must not duplicate its change rows
+    sink.apply_batch(feed_df(spark, [ev("U", "c1", 0, 4, text="zzz")]), batch_id=2, **kw)
+    assert sink.read_changes().count() == 2
+
+
+def test_collect_metrics_adds_no_extra_jobs(spark, tmp_table):
+    # the observe() rework: metrics ride the existing merge jobs —
+    # MOR and COW batch applies launch the SAME number of Spark jobs
+    # with metrics on and off.
+    from chomper_spark.operators.merge import SnapshotMergeSink
+
+    def n_jobs(fn) -> int:
+        # job ids are global and monotonically increasing
+        sc = spark.sparkContext
+        start = sc._jsc.sc().dagScheduler().nextJobId()
+        fn()
+        end = sc._jsc.sc().dagScheduler().nextJobId()
+        return end - start
+
+    events = [ev("I", f"c{i}", i % 4, i) for i in range(64)]
+    for mode in ("mor", "cow"):
+        counts = {}
+        for metrics_on in (False, True):
+            root = f"{tmp_table}_{mode}_{metrics_on}"
+            sink = SnapshotMergeSink(spark, root, n_buckets=4, write_mode=mode)
+            sink.apply_batch(feed_df(spark, events), batch_id=0,
+                             collect_metrics=metrics_on)
+            counts[metrics_on] = n_jobs(
+                lambda: sink.apply_batch(
+                    feed_df(spark, [ev("U", "c1", 1, 100 + i) for i in range(8)]),
+                    batch_id=1, collect_metrics=metrics_on,
+                )
+            )
+        assert counts[True] == counts[False], (mode, counts)
+
+
+def test_metrics_values_unchanged_by_observe_rework(spark, tmp_table):
+    from chomper_spark.operators.merge import SnapshotMergeSink
+
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=2)
+    m0 = sink.apply_batch(
+        feed_df(spark, [ev("I", "c1", 0, 1), ev("I", "c1", 0, 2), ev("I", "c2", 0, 3)]),
+        batch_id=0)
+    assert (m0.events_in, m0.merge_rows, m0.dedup_drops, m0.inserted) == (3, 2, 1, 2)
+    m1 = sink.apply_batch(
+        feed_df(spark, [ev("U", "c1", 0, 4, text="new"), ev("D", "c2", 0, 5)]),
+        batch_id=1, listen_fields=("text",))
+    assert (m1.events_in, m1.updated, m1.deleted) == (2, 1, 1)
+    assert m1.field_changes == {"text": 1}
