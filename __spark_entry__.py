@@ -358,6 +358,28 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(left, right, on=["user_id"], left_ts="ts", right_ts="ots")
 
 
+def _q_asof_join_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-hardened two-pass as-of join (time-chunk salting with
+    boundary carry-forward) must produce byte-identical results to the
+    single-window form — same DuckDB ASOF JOIN oracle."""
+    from chomper_spark.operators.asof import asof_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    right = orders.groupBy(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("ots"),
+    ).agg(
+        F.max("o_orderkey").alias("last_orderkey"),
+        F.max_by("o_totalprice", "o_orderkey").alias("last_totalprice"),
+    )
+    left = events.select("event_id", "user_id", "ts")
+    return asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ots",
+        chunk_seconds=86_400 * 365,  # year-sized chunks over ~7y of data
+    )
+
+
 def _q_surrogate_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = change_feed_from_events(spark, sf_dir)
     return tx.pipe(
@@ -439,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_timestamps": _q_apply_timestamps,
         "cdc_change_rows": _q_change_rows,
         "asof_join_last_order": _q_asof_join,
+        "asof_join_chunked": _q_asof_join_chunked,
         "conv_assemble_text": _q_conv_assemble,
         "tx_field_change_counts": _q_field_change_counts,
     }
@@ -592,6 +615,17 @@ def oracle_sql() -> dict[str, str]:
             "AND role IS DISTINCT FROM prev_role"
         ),
         "asof_join_last_order": (
+            "WITH ro AS (SELECT o_custkey AS user_id, "
+            "CAST(o_orderdate AS TIMESTAMP) AS ots, "
+            "max(o_orderkey) AS last_orderkey, "
+            "arg_max(o_totalprice, o_orderkey) AS last_totalprice "
+            "FROM orders GROUP BY 1, 2) "
+            "SELECT e.event_id, e.user_id, e.ts, r.last_orderkey, r.last_totalprice "
+            "FROM events e ASOF LEFT JOIN ro r "
+            "ON e.user_id = r.user_id AND r.ots <= e.ts"
+        ),
+        # identical semantics, skew-hardened implementation — one oracle
+        "asof_join_chunked": (
             "WITH ro AS (SELECT o_custkey AS user_id, "
             "CAST(o_orderdate AS TIMESTAMP) AS ots, "
             "max(o_orderkey) AS last_orderkey, "

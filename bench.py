@@ -132,6 +132,32 @@ def main() -> None:
         with open(scaling_path) as fh:
             extras["scaling"] = json.load(fh)
 
+    # regression tracking: diff per-query times against the newest
+    # BENCH_r*.json so the next round's judge sees movement per query
+    import glob
+    import re as _re
+
+    prior = sorted(
+        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")),
+        key=lambda p: int(_re.search(r"_r(\d+)", p).group(1)),
+    )
+    if prior:
+        try:
+            with open(prior[-1]) as fh:
+                doc = json.load(fh)
+            # the driver wraps our JSON line under "parsed"
+            prev = (doc.get("queries") or doc.get("parsed", {}).get("queries")) or {}
+            regressions = {
+                name: {"prev": prev[name], "now": sec,
+                       "ratio": round(sec / prev[name], 2)}
+                for name, sec in queries.items()
+                if name in prev and prev[name] > 0.5 and sec > prev[name] * 1.5
+            }
+            extras["prev_bench"] = os.path.basename(prior[-1])
+            extras["regressions"] = regressions
+        except (json.JSONDecodeError, KeyError, ZeroDivisionError):
+            pass
+
     total = round(sum(v for v in queries.values() if v > 0), 3)
     print(
         json.dumps(

@@ -110,8 +110,11 @@ def asof_join(
     # -- two-pass time-chunked form: bounded per-task sort on hot keys
     ts_type = tagged.schema["_asof_ts"].dataType
     if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        # unix_micros rejects TIMESTAMP_NTZ (the parquet default in
+        # Spark 4) — cast first; value-preserving in a UTC session
         chunk = F.floor(
-            F.unix_micros(F.col("_asof_ts")) / F.lit(int(chunk_seconds * 1_000_000))
+            F.unix_micros(F.col("_asof_ts").cast("timestamp"))
+            / F.lit(int(chunk_seconds * 1_000_000))
         )
     else:  # numeric event-time (epoch seconds / logical ticks)
         chunk = F.floor(F.col("_asof_ts") / F.lit(chunk_seconds)).cast("long")

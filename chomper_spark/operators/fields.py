@@ -287,6 +287,21 @@ def rename_keys(path: str, mapping: dict[str, str]) -> Transform:
     return _t
 
 
+def for_fields(paths: list[str], fn: Callable[[Column], Column]) -> Transform:
+    """Selector multi-field routing (chomper/items.py:244-273): apply
+    one scalar transform to several fields/paths in a single Transform
+    — ``Processor(selector=[Item.a, Item.b.c])``.  Each path gets the
+    NULL-skip semantics of scalar_map_path; the edits fuse into one
+    projection (Catalyst collapses consecutive UpdateFields)."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        for p in paths:
+            df = scalar_map_path(p, fn)(df)
+        return df
+
+    return _t
+
+
 def path_exists(path: str) -> Column:
     """Boolean Column: the value at the path is non-NULL (path_exists,
     chomper/utils.py:140-148 — schema presence is static in Spark, so

@@ -3,9 +3,26 @@
 The reference's continuous mode is a poll-sleep(1) loop over a Redis
 queue (`close_when_idle = False`, chomper/importers.py:54-62;
 QueueReader blocking on blpop, chomper/contrib/redis.py:39-61).  The
-Spark-native rebuild is `readStream` over a growing feed directory
-(the sandbox stand-in for a Kafka/binlog source — swap `.format()` and
-nothing else changes) with:
+Spark-native rebuild is `readStream` over a growing feed directory —
+the sandbox stand-in for a queue-shaped source.  Swapping in Kafka
+changes ONLY the source expression; everything downstream (watermark,
+foreachBatch, staging, ledger, lineage) is identical:
+
+    stream = (spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .option("maxOffsetsPerTrigger", str(n))  # maxFilesPerTrigger analogue
+        .load()
+        .select(F.from_json(F.col("value").cast("string"),
+                            feed_schema).alias("e"))
+        .select("e.*")
+        .withWatermark("op_ts", watermark))
+
+Multi-file micro-batches (maxFilesPerTrigger > 1) and a producer
+appending to the directory while the query runs are exercised in
+tests/test_streaming.py — the continuous-queue shape, not just
+drain-what-exists:
 
   * micro-batching        — maxFilesPerTrigger bounds batch size
   * event-time watermark  — withWatermark("op_ts", …) documents the

@@ -136,6 +136,17 @@ def test_path_exists(spark):
     assert got == {1: True, 2: False, 3: False}
 
 
+def test_for_fields_multi_path_selector(spark):
+    # Selector routing a processor at several fields (chomper/items.py:244-273)
+    df = _nested_df(spark)
+    out = pipe(df, fp.for_fields(["job.name", "friends[0].name"], lambda c: F.upper(c)))
+    vals = {r["id"]: r for r in out.collect()}
+    assert vals[1]["job"]["name"] == "ADA"
+    assert vals[1]["friends"][0]["name"] == "F1"
+    assert vals[2]["job"]["name"] is None  # NULL skipped per path
+    assert vals[3]["job"] is None
+
+
 def test_fields_plan_stays_codegen(spark):
     # no Python evaluation anywhere in the nested-path machinery
     df = pipe(

@@ -141,3 +141,70 @@ def test_stateful_conversation_tracker_across_batches(spark, tmp_path):
         final[r["conv_id"]] = (r["turns_seen"], r["tool_calls"])
     assert final["c1"] == (3, 1)  # 2 events batch A + 1 batch B, one tool call
     assert final["c2"] == (1, 1)
+
+
+def test_stream_continuous_producer_multi_file_batches(spark, tmp_path):
+    # the reference's continuous-queue shape (chomper/contrib/redis.py:39-61):
+    # a producer keeps appending files WHILE the query runs on a
+    # processing-time trigger, and maxFilesPerTrigger>1 folds several
+    # files into one micro-batch.  Files land via atomic rename so the
+    # source never lists a half-written file.
+    import os
+    import shutil
+    import threading
+    import time
+
+    feed_dir, state, ckpt, _ = _dirs(tmp_path)
+    os.makedirs(feed_dir, exist_ok=True)
+    stage_root = str(tmp_path / "stage")
+
+    def make_chunk(idx, events):
+        stage = os.path.join(stage_root, f"s{idx}")
+        feed_df(spark, events).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.rename(os.path.join(stage, part),
+                  os.path.join(feed_dir, f"chunk{idx:03d}.parquet"))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    chunks = [
+        [ev("I", f"c{4 * i + j}", 0, 4 * i + j) for j in range(4)] for i in range(8)
+    ]
+    all_events = [e for c in chunks for e in c]
+    # two files exist BEFORE the query starts → the first trigger must
+    # fold both into one micro-batch (maxFilesPerTrigger=3 allows it)
+    make_chunk(0, chunks[0])
+    make_chunk(1, chunks[1])
+
+    app = StreamingApply(
+        spark, feed_dir, state, ckpt,
+        max_files_per_trigger=3, n_buckets=4, collect_metrics=True,
+    )
+    q = app.start(available_now=False, processing_time="1 second")
+    try:
+        stop = threading.Event()
+
+        def produce():
+            for i in range(2, 8):
+                make_chunk(i, chunks[i])
+                time.sleep(0.4)
+
+        t = threading.Thread(target=produce)
+        t.start()
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            applied = sum(m.events_in for m in app.batch_metrics if not m.skipped)
+            if applied >= len(all_events):
+                break
+            time.sleep(0.5)
+        t.join()
+    finally:
+        q.stop()
+
+    applied = sum(m.events_in for m in app.batch_metrics if not m.skipped)
+    assert applied == len(all_events)
+    # at least one micro-batch consumed MULTIPLE files (the seed pair)
+    assert max(m.events_in for m in app.batch_metrics) >= 8
+    assert_state_equals_oracle(
+        app.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts"),
+        all_events,
+    )
