@@ -437,8 +437,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": lambda s, d: dd.simhash_pairs(_docs(s, d)),
         "ann_bruteforce_topk": lambda s, d: sim.ann_bruteforce_topk(_emb(s, d)),
         "ann_lsh_bucketed": lambda s, d: sim.lsh_bucketed_ann(_emb(s, d)),
+        "ann_ivf_topk": lambda s, d: sim.ivf_topk(_emb(s, d)),
         "emb_neardup_cosine": lambda s, d: sim.embedding_neardup_pairs(_emb(s, d)),
         "multimodal_features": lambda s, d: mm.multimodal_features(_docs(s, d)),
+        "multimodal_resize": lambda s, d: mm.multimodal_resize(_docs(s, d)),
+        "multimodal_frames": lambda s, d: mm.multimodal_frames(_docs(s, d)),
         "cdc_reshape_feed": _q_reshape,
         "cdc_dedup_latest": _q_dedup,
         "cdc_apply_final_state": _q_apply_final,
@@ -481,8 +484,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": dd.simhash_pairs_sql(),
         "ann_bruteforce_topk": sim.ann_bruteforce_sql(),
         "ann_lsh_bucketed": sim.lsh_bucketed_ann_sql(),
+        "ann_ivf_topk": sim.ivf_topk_sql(),
         "emb_neardup_cosine": sim.embedding_neardup_sql(),
         "multimodal_features": mm.MULTIMODAL_FEATURES_SQL,
+        "multimodal_resize": mm.multimodal_resize_sql(),
+        "multimodal_frames": mm.multimodal_frames_sql(),
         "cdc_reshape_feed": feed_sql,
         "cdc_dedup_latest": (
             f"WITH {_FEED_CTE}, {_RANKED_CTE} "

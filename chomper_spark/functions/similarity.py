@@ -312,6 +312,153 @@ WHERE rank <= {top_k}
 """
 
 
+# --------------------------------------------------------------- IVF top-k
+
+
+IVF_CENTROIDS = 16
+IVF_PROBES = 2
+
+
+def _centroids(n: int, dim: int = DIM) -> list[list[float]]:
+    """Deterministic pseudo-random coarse-quantizer centroids (same
+    md5-derived construction as the LSH hyperplanes, different salt).
+    A production deployment would train these with k-means and broadcast
+    them; the assignment/probe/verify plumbing is identical."""
+    out = []
+    for c in range(n):
+        row = []
+        for d in range(1, dim + 1):
+            h = int(hashlib.md5(f"ivf_{c}_{d}".encode()).hexdigest()[:15], 16)
+            row.append(h / 2**59 - 1.0)
+        out.append(row)
+    return out
+
+
+def _cell_dots_sql(elem: str, col: str, n_centroids: int, dim: int) -> list[str]:
+    cents = _centroids(n_centroids, dim)
+    e = elem.format(col=col)
+    return [
+        " + ".join(f"{e.format(d=d)} * {cents[c][d - 1]!r}" for d in range(1, dim + 1))
+        for c in range(n_centroids)
+    ]
+
+
+def _cell_case_sql(dots: list[str]) -> str:
+    """argmin-distance (= argmax-dot for our synthetic centroids) as a
+    first-match CASE over the per-centroid dots — ties go to the lowest
+    cell, identically in both engines (bit-identical double sums)."""
+    mx = "greatest(" + ", ".join(f"({d})" for d in dots) + ")"
+    arms = " ".join(
+        f"WHEN ({d}) = _mx THEN {c}" for c, d in enumerate(dots[:-1])
+    )
+    return f"(CASE {arms} ELSE {len(dots) - 1} END)", mx
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probes: int = IVF_PROBES,
+    n_queries: int = N_QUERIES,
+    top_k: int = TOP_K,
+    dim: int = DIM,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: every vector is assigned to its nearest
+    coarse-quantizer centroid with ONE argmax projection (C·dim mults
+    per row — no explode, no shuffle, the 64-float payload is never
+    replicated); each query probes its ``n_probes`` nearest cells and
+    brute-forces only those inverted lists.
+
+    Scale shape: the corpus side carries just (id, embedding, cell) and
+    joins the broadcast-sized probe side on the small int cell id —
+    expected candidate volume per query is n_probes/C of the corpus,
+    the standard recall/cost dial (FAISS IVF-Flat's layout, rebuilt
+    relationally)."""
+    dots = _cell_dots_sql(_SP, "embedding", n_centroids, dim)
+    case, mx = _cell_case_sql(dots)
+    with_mx = emb.withColumn("_mx", F.expr(mx))
+    assigned = with_mx.select(
+        "vec_id", "embedding", F.expr(case).cast("int").alias("cell")
+    )
+    data = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"), "cell"
+    )
+    # probe side: melt ONLY the n_queries query vectors (tiny)
+    q_melted = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(
+            "vec_id",
+            "embedding",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("cell"),
+                            F.expr(d).cast("double").alias("cdot"),
+                        )
+                        for c, d in enumerate(dots)
+                    ]
+                )
+            ).alias("cd"),
+        )
+        .select("vec_id", "embedding", F.col("cd.cell"), F.col("cd.cdot"))
+    )
+    wp = Window.partitionBy("vec_id").orderBy(F.col("cdot").desc(), F.col("cell"))
+    probes = (
+        q_melted.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= n_probes)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "cell")
+    )
+    sim = F.expr(_cosine_sql("q_emb", "n_emb", _SP, dim))
+    scored = (
+        data.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def ivf_topk_sql(
+    n_centroids: int = IVF_CENTROIDS,
+    n_probes: int = IVF_PROBES,
+    n_queries: int = N_QUERIES,
+    top_k: int = TOP_K,
+    dim: int = DIM,
+) -> str:
+    dots = _cell_dots_sql(_DK, "embedding", n_centroids, dim)
+    case, mx = _cell_case_sql(dots)
+    melt = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {c} AS cell, ({d})::DOUBLE AS cdot "
+        f"FROM embeddings WHERE vec_id < {n_queries}"
+        for c, d in enumerate(dots)
+    )
+    cos = _cosine_sql("q_emb", "n_emb", _DK, dim).replace(
+        "q_emb", "p.embedding"
+    ).replace("n_emb", "dt.embedding")
+    return f"""
+WITH wm AS (SELECT vec_id, embedding, {mx} AS _mx FROM embeddings),
+dt AS (SELECT vec_id AS neighbor_id, embedding, {case}::INT AS cell FROM wm),
+qm AS ({melt}),
+p AS (SELECT vec_id AS query_id, embedding, cell FROM (
+  SELECT vec_id, embedding, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cell) AS _rn
+  FROM qm) WHERE _rn <= {n_probes}),
+s AS (
+  SELECT p.query_id, dt.neighbor_id, {cos} AS sim
+  FROM dt JOIN p ON dt.cell = p.cell AND p.query_id <> dt.neighbor_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM s)
+WHERE rank <= {top_k}
+"""
+
+
 # ------------------------------------------------- embedding near-dup pairs
 
 

@@ -121,6 +121,22 @@ def test_embedding_neardup_pairs(spark):
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
 
 
+def test_ivf_topk_probes_nearest_cells(spark):
+    # identical-direction vectors share a cell → IVF finds them; the
+    # data side is assigned with a pure projection (no explode)
+    out = sim.ivf_topk(_emb(spark), n_centroids=4, n_probes=2, n_queries=3, top_k=1, dim=4)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in out.collect()}
+    assert top1[0] == 1 and top1[1] == 0  # planted identical pair
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # probes broadcast, corpus never shuffles wide
+    # exactly one Generate (the tiny query-side melt): the corpus side
+    # must NOT be exploded C times (AQE prints final+initial plans —
+    # count within the final section only)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Generate") == 1
+
+
 def test_lsh_bucket_cap_bounds_candidates_on_skew(spark):
     # degenerate fixture: 60 identical vectors — every band puts all of
     # them in ONE bucket.  Uncapped that is 60×59 directed candidates;
@@ -184,6 +200,31 @@ def test_multimodal_plumbing_fake_decode(spark):
     assert rows[0]["header_byte"] == ord("a")
     assert rows[0]["modality"] == "image" and rows[1]["modality"] == "audio"
     assert rows[0]["content_hash"] == rows[1]["content_hash"]
+
+
+def test_multimodal_resize_plumbing(spark):
+    out = mm.multimodal_resize(_docs(spark), out_w=8, out_h=4)  # budget = 2 bytes
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[0]["out_bytes"] == 2 and rows[0]["out_w"] == 8
+    import hashlib
+
+    assert rows[0]["out_hash"] == hashlib.md5(b"al").hexdigest()  # first 2 bytes
+
+
+def test_multimodal_frame_sampling_fanout(spark):
+    out = mm.multimodal_frames(_docs(spark), every_n=2)
+    rows = out.collect()
+    # only video-modality docs (doc_id % 3 == 2) fan out
+    assert {r["doc_id"] for r in rows} == {2}
+    base = "alpha beta gamma delta epsilon zeta eta theta iota"
+    n_frames = len(base) % 7 + 1
+    assert [r["frame_idx"] for r in sorted(rows, key=lambda r: r["frame_idx"])] == list(
+        range(0, n_frames, 2)
+    )
+    import hashlib
+
+    first = next(r for r in rows if r["frame_idx"] == 0)
+    assert first["frame_hash"] == hashlib.md5(base[:8].encode()).hexdigest()
 
 
 def test_multimodal_decode_stub_raises_without_libs():
