@@ -377,3 +377,54 @@ def test_metrics_values_unchanged_by_observe_rework(spark, tmp_table):
         batch_id=1, listen_fields=("text",))
     assert (m1.events_in, m1.updated, m1.deleted) == (2, 1, 1)
     assert m1.field_changes == {"text": 1}
+
+
+def test_crashed_commit_leftovers_do_not_break_gc_or_reads(spark, tmp_table):
+    # simulate a crash mid-_commit: an orphan snapshot data dir (written
+    # but never referenced — _CURRENT was never flipped) plus a half-
+    # written m*.json.tmp manifest.  Reads ignore them (only _CURRENT
+    # matters), expire_snapshots must neither let the .tmp consume a
+    # retention slot nor crash parsing it, and the orphan dir is GC'd.
+    import json
+    import os
+
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=2)
+    for i in range(1, 5):
+        sink.apply_batch(feed_df(spark, [ev("I", f"c{i}", 0, i)]), batch_id=i)
+    before = sorted(r["conv_id"] for r in sink.read().collect())
+
+    # crash debris
+    orphan = os.path.join(tmp_table, "snapshots", "s00000099", "data")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-junk.parquet"), "w") as fh:
+        fh.write("not parquet")
+    with open(os.path.join(tmp_table, "manifests", "m00000099.json.tmp"), "w") as fh:
+        fh.write('{"snapshot_id": 99, "committed')  # truncated JSON
+
+    assert sorted(r["conv_id"] for r in sink.read().collect()) == before
+    stats = sink.expire_snapshots(keep_manifests=2)
+    assert not os.path.exists(os.path.join(tmp_table, "snapshots", "s00000099"))
+    assert stats["snapshots_removed"] >= 1
+    assert sorted(r["conv_id"] for r in sink.read().collect()) == before
+    # ledger intact: replays still skip, new batches still apply
+    assert sink.apply_batch(feed_df(spark, [ev("I", "c1", 0, 1)]), batch_id=1).skipped
+    sink.apply_batch(feed_df(spark, [ev("I", "c9", 0, 9)]), batch_id=9)
+    assert "c9" in {r["conv_id"] for r in sink.read().collect()}
+
+
+def test_audit_timestamps_compose_with_update_only_nulls(spark, tmp_table):
+    # E9 .overwrite(False) + .timestamps() together: a matched row only
+    # fills NULL columns, but updated_at still advances (an UPDATE ran)
+    import datetime as dt
+
+    t0, t1 = dt.datetime(2026, 1, 1), dt.datetime(2026, 1, 2)
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=2, audit_timestamps=True)
+    sink.apply_batch(
+        feed_df(spark, [ev("I", "c1", 0, 1, text="keep", tool=None)]),
+        batch_id=0, batch_time=t0)
+    sink.apply_batch(
+        feed_df(spark, [ev("U", "c1", 0, 2, text="clobber", tool="browser")]),
+        batch_id=1, batch_time=t1, update_only_nulls=True)
+    r = sink.read().collect()[0]
+    assert r["text"] == "keep" and r["tool"] == "browser"  # only NULL filled
+    assert r["created_at"] == t0 and r["updated_at"] == t1
