@@ -380,6 +380,30 @@ def _q_asof_join_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_importer_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's top-level Importer shape end-to-end
+    (chomper/importers.py:25-89; examples/companies.py:10-23): named
+    pipeline of declarative transforms feeding the MERGE sink, then the
+    final table read back."""
+    from chomper_spark.plans import Importer
+
+    sink = SnapshotMergeSink(
+        spark, tempfile.mkdtemp(prefix="chomper_spark_imp_"), n_buckets=16
+    )
+    imp = Importer(
+        name="transcripts",
+        feeder=lambda s: change_feed_from_events(s, sf_dir),
+        pipeline=[
+            tx.drop_rows(F.col("role") == "system"),
+            tx.map_values("tool", {"browser": "web"}),
+            tx.scalar_map("text", lambda c: F.upper(c)),
+        ],
+        sink=sink,
+    )
+    imp.run(spark, batch_id=0)
+    return sink.read().select("conv_id", "turn_idx", "role", "text", "tool")
+
+
 def _q_surrogate_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = change_feed_from_events(spark, sf_dir)
     return tx.pipe(
@@ -458,6 +482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_nested_rename": _q_tx_nested_rename,
         "tx_nested_pathset": _q_tx_nested_pathset,
         "tx_surrogate_id": _q_surrogate_id,
+        "pipeline_importer_run": _q_importer_pipeline,
         "conv_sessionize": _q_sessionize,
         "skew_salted_conv_counts": _q_salted_counts,
         "cdc_apply_final_state_mor": _q_apply_final_mor,
@@ -550,6 +575,15 @@ def oracle_sql() -> dict[str, str]:
         "tx_nested_pathset": (
             f"WITH {_FEED_CTE} "
             "SELECT batch_seq, upper(text) AS t0, 'x' AS t1 FROM feed"
+        ),
+        "pipeline_importer_run": (
+            f"WITH {_FEED_CTE}, "
+            "filt AS (SELECT * FROM feed WHERE NOT (role = 'system')), "
+            "ranked AS (SELECT *, row_number() OVER ("
+            "PARTITION BY conv_id, turn_idx ORDER BY op_ts DESC, batch_seq DESC) AS rn FROM filt) "
+            "SELECT conv_id, turn_idx, role, upper(text) AS text, "
+            "CASE WHEN tool = 'browser' THEN 'web' ELSE tool END AS tool "
+            "FROM ranked WHERE rn = 1 AND op <> 'D'"
         ),
         "tx_surrogate_id": (
             f"WITH {_FEED_CTE} "

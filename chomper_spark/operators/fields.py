@@ -51,11 +51,14 @@ def parse_path(path: str) -> list[PathKey]:
 
 def get_path(path: str | list[PathKey]) -> Column:
     """Path read as a Column (path_get, chomper/utils.py:100-107).
-    Any NULL along the way yields NULL — the reference's default."""
+    Any NULL or missing step along the way yields NULL — the
+    reference's miss-is-default semantics.  Array indices go through
+    ``F.get`` (NULL on out-of-bounds) because ANSI mode makes
+    ``getItem`` THROW on an invalid index."""
     keys = parse_path(path) if isinstance(path, str) else path
     col = F.col(str(keys[0]))
     for k in keys[1:]:
-        col = col.getItem(k)
+        col = F.get(col, k) if isinstance(k, int) else col.getItem(k)
     return col
 
 

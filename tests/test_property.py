@@ -43,3 +43,88 @@ def test_random_replay_matches_reference(spark, tmp_path_factory, events, n_batc
         if chunk:
             sink.apply_batch(feed_df(spark, chunk), batch_id=b)
     assert_state_equals_oracle(sink.read(), evs)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(_event, min_size=1, max_size=24),
+    n_batches=st.integers(min_value=1, max_value=3),
+)
+def test_random_replay_mor_matches_reference(spark, tmp_path_factory, events, n_batches):
+    # the merge-on-read sink must satisfy the SAME oracle on the same
+    # random feeds — base∪deltas reduce ≡ the COW table at every point
+    evs = [
+        ev(op, conv, turn, seq, secs=ts, text=f"t{seq}")
+        for seq, (op, conv, turn, ts) in enumerate(events)
+    ]
+    root = str(tmp_path_factory.mktemp("propm") / "table")
+    sink = SnapshotMergeSink(spark, root, n_buckets=4, write_mode="mor",
+                             mor_compact_threshold=2)  # force compaction paths
+    for b in range(n_batches):
+        chunk = evs[b::n_batches]
+        if chunk:
+            sink.apply_batch(feed_df(spark, chunk), batch_id=b)
+    assert_state_equals_oracle(sink.read(), evs)
+
+
+_PATHS = [
+    "a", "s.x", "s.y", "s.inner.z", "arr[0].v", "arr[1].v", "arr[2].v"
+]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    path=st.sampled_from(_PATHS),
+    value=st.integers(min_value=-100, max_value=100),
+    null_struct=st.booleans(),
+    arr_len=st.integers(min_value=0, max_value=3),
+)
+def test_nested_path_set_get_roundtrip(spark, path, value, null_struct, arr_len):
+    # path_set/path_get laws (chomper/utils.py:100-122): after set, get
+    # returns the value iff every parent exists; otherwise the row is
+    # untouched (silent no-op) — for ALL paths, values and null shapes.
+    from pyspark.sql import functions as F
+
+    from chomper_spark.operators import fields as fp
+    from chomper_spark.operators.transforms import pipe
+
+    row_df = spark.range(1).select(
+        F.lit(7).alias("a"),
+        (
+            F.lit(None).cast("struct<x:int,y:int,inner:struct<z:int>>")
+            if null_struct
+            else F.named_struct(
+                F.lit("x"), F.lit(1), F.lit("y"), F.lit(2),
+                F.lit("inner"), F.named_struct(F.lit("z"), F.lit(3)),
+            ).cast("struct<x:int,y:int,inner:struct<z:int>>")
+        ).alias("s"),
+        F.slice(
+            F.array(*[F.struct(F.lit(i).alias("v")) for i in range(3)]), 1, arr_len
+        ).alias("arr"),
+    )
+    before = row_df.collect()[0]
+    out = pipe(row_df, fp.set_path(path, value)).collect()[0]
+    got = pipe(row_df, fp.set_path(path, value)).select(
+        fp.get_path(path).alias("g")
+    ).collect()[0]["g"]
+
+    keys = fp.parse_path(path)
+    if keys[0] == "a":
+        parents_ok = True
+    elif keys[0] == "s":
+        parents_ok = not null_struct
+    else:  # arr[i].v
+        parents_ok = keys[1] < arr_len
+    if parents_ok:
+        assert got == value
+    else:
+        # untouched: whole row equals the original
+        assert out == before
