@@ -380,6 +380,79 @@ def _q_asof_join_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X25 time travel under the hash gate: apply 5 batches, then read
+    the table AS OF the snapshot committed by batch 2 — must equal
+    latest-wins over only the events of batches 0..2."""
+    feed = with_batch_id(change_feed_from_events(spark, sf_dir), 5).persist()
+    sink = SnapshotMergeSink(
+        spark, tempfile.mkdtemp(prefix="chomper_spark_tt_"), n_buckets=16
+    )
+    for b in range(5):
+        sink.apply_batch(
+            feed.filter(F.col("batch_id") == b).drop("batch_id"),
+            batch_id=b,
+            collect_metrics=False,
+        )
+    feed.unpersist()
+    # snapshot ids are 0-based per apply → snapshot 2 = after batch 2
+    return sink.read(as_of_snapshot=2).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
+def _q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule schema evolution under the hash gate: batch 0 carries
+    an INT score and no lang column; batch 1 widens score to DOUBLE and
+    adds lang.  The table must evolve (widen + add, NULL-backfill) and
+    the final state must match the relational oracle."""
+    feed = change_feed_from_events(spark, sf_dir)
+    base = ["op", "op_ts", "batch_seq", "conv_id", "turn_idx", "role", "text"]
+    batch_a = feed.filter(F.col("batch_seq") % 2 == 0).select(
+        *base, F.col("turn_idx").cast("int").alias("score")
+    )
+    batch_b = feed.filter(F.col("batch_seq") % 2 == 1).select(
+        *base,
+        (F.col("turn_idx") * F.lit(1.5)).alias("score"),
+        F.lit("en").alias("lang"),
+    )
+    sink = SnapshotMergeSink(
+        spark, tempfile.mkdtemp(prefix="chomper_spark_evo_"), n_buckets=16
+    )
+    sink.apply_batch(batch_a, batch_id=0, collect_metrics=False)
+    sink.apply_batch(batch_b, batch_id=1, collect_metrics=False)
+    return sink.read().select("conv_id", "turn_idx", "role", "text", "score", "lang")
+
+
+def _q_streaming_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17 under the hash gate: the Structured Streaming path (file-tail
+    → foreachBatch → MERGE with checkpoint + ledger) drained with
+    availableNow must converge to the SAME final state as batch replay
+    (one shared oracle).  File arrival order is irrelevant — the merge
+    is version-checked, not order-dependent."""
+    import os
+
+    from chomper_spark.streaming import StreamingApply
+
+    work = tempfile.mkdtemp(prefix="chomper_spark_stream_")
+    feed_dir = os.path.join(work, "feed")
+    feed = with_batch_id(change_feed_from_events(spark, sf_dir), 5)
+    for b in range(5):
+        feed.filter(F.col("batch_id") == b).drop("batch_id").coalesce(1).write.mode(
+            "append"
+        ).parquet(feed_dir)
+    app = StreamingApply(
+        spark,
+        feed_dir,
+        os.path.join(work, "state"),
+        os.path.join(work, "ckpt"),
+        max_files_per_trigger=2,
+        n_buckets=16,
+    )
+    app.run_available()
+    return app.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
 def _q_importer_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's top-level Importer shape end-to-end
     (chomper/importers.py:25-89; examples/companies.py:10-23): named
@@ -488,6 +561,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_final_state_mor": _q_apply_final_mor,
         "cdc_apply_timestamps": _q_apply_timestamps,
         "cdc_change_rows": _q_change_rows,
+        "cdc_time_travel": _q_time_travel,
+        "cdc_schema_evolution": _q_schema_evolution,
+        "cdc_streaming_apply": _q_streaming_apply,
         "asof_join_last_order": _q_asof_join,
         "asof_join_chunked": _q_asof_join_chunked,
         "conv_assemble_text": _q_conv_assemble,
@@ -627,6 +703,23 @@ def oracle_sql() -> dict[str, str]:
             "ON l.conv_id = f.conv_id AND l.turn_idx = f.turn_idx "
             "WHERE l.op <> 'D'"
         ),
+        "cdc_time_travel": (
+            f"WITH {_FEED_CTE}, "
+            "sub AS (SELECT * FROM feed WHERE CAST(batch_seq % 5 AS INTEGER) <= 2), "
+            "ranked AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx "
+            "ORDER BY op_ts DESC, batch_seq DESC) AS rn FROM sub) "
+            "SELECT conv_id, turn_idx, role, text, tool, ts "
+            "FROM ranked WHERE rn = 1 AND op <> 'D'"
+        ),
+        "cdc_schema_evolution": (
+            f"WITH {_FEED_CTE}, {_RANKED_CTE} "
+            "SELECT conv_id, turn_idx, role, text, "
+            "CASE WHEN batch_seq % 2 = 0 THEN CAST(turn_idx AS DOUBLE) "
+            "ELSE turn_idx * 1.5 END AS score, "
+            "CASE WHEN batch_seq % 2 = 1 THEN 'en' END AS lang "
+            "FROM ranked WHERE rn = 1 AND op <> 'D'"
+        ),
+        "cdc_streaming_apply": FINAL_STATE_SQL,
         # the applied-event sequence per key = each batch's newest event
         # iff it beats every earlier batch's newest; change rows compare
         # consecutive applied events on live (non-deleted) state.
