@@ -90,3 +90,58 @@ def test_whole_stage_codegen_covers_transform_pipeline(spark):
     # codegen'd stages carry the "*(n)" marker in this plan rendering
     assert "*(1)" in plan or "WholeStageCodegen" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_nested_field_stack_is_single_projection_no_shuffle(spark):
+    # a chain of nested-path edits must collapse into projection(s)
+    # over the scan — zero exchanges, zero Python, codegen'd
+    from chomper_spark.operators import fields as fp
+    from chomper_spark.operators import transforms as tx
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    nested = docs.select(
+        "doc_id", F.struct(F.col("lang").alias("lg"), F.col("source").alias("src")).alias("meta")
+    )
+    q = tx.pipe(
+        nested,
+        fp.nested_defaults("meta", {"lg": "und", "score": 0}),
+        fp.rename_keys("meta", {"src": "origin"}),
+        fp.scalar_map_path("meta.lg", lambda c: F.upper(c)),
+    )
+    plan = _plan(q)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_asof_chunked_windows_are_keyed_on_chunk(spark):
+    # the skew-hardened as-of join must window on (key, chunk) for the
+    # bulk data — the only key-wide window runs over the tiny per-chunk
+    # boundary table
+    from chomper_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 1, "e")], "k string, ts int, ev string")
+    right = spark.createDataFrame([("k", 1, "v")], "k string, ts int, v string")
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts", chunk_seconds=10)
+    plan = _plan(out)
+    assert plan.count("_asof_chunk") > 0
+    # bulk window partitions include the chunk column
+    assert "hashpartitioning(k" in plan.replace(" ", "").lower()
+    assert "BatchEvalPython" not in plan
+
+
+def test_change_row_emission_adds_no_python_and_reuses_join(spark, tmp_path):
+    # the change-audit rows derive from the SAME pre/post-image join the
+    # merge computes — pure Catalyst (explode over struct array), no
+    # Python anywhere in the sink write path
+    from chomper_spark.operators.merge import SnapshotMergeSink
+    from tests.helpers import ev, feed_df
+
+    sink = SnapshotMergeSink(spark, str(tmp_path / "t"), n_buckets=2)
+    sink.apply_batch(feed_df(spark, [ev("I", "c1", 0, 1, text="a")]), batch_id=0)
+    sink.apply_batch(
+        feed_df(spark, [ev("U", "c1", 0, 2, text="b")]),
+        batch_id=1, listen_fields=("text",), emit_change_rows=True,
+    )
+    ch = sink.read_changes()
+    assert "BatchEvalPython" not in _plan(ch)
+    assert ch.count() == 1
