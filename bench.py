@@ -118,14 +118,23 @@ def main() -> None:
     queries["cdc_apply_synthetic_mor"] = round(sec, 3)
     extras["synth_mor_events_per_sec"] = round(SYNTH_EVENTS / sec, 1)
 
-    # q3+: every driver-contract query at the bench SF (the graded surface)
+    # q3+: every driver-contract query at the bench SF (the graded surface).
+    # Each query gets its own temp dir (engine state roots land there via
+    # tempfile.mkdtemp) and it is removed after timing — 48 queries would
+    # otherwise leave ~10 engine states accumulating on /tmp.
     for name, fn in entry_mod.queries().items():
+        qtmp = tempfile.mkdtemp(prefix=f"bench_{name}_")
+        prev_tmp = tempfile.tempdir
+        tempfile.tempdir = qtmp
         try:
             sec, _ = _timed(lambda: fn(spark, SF_DIR).write.format("noop").mode("overwrite").save())
             queries[name] = round(sec, 3)
         except Exception as e:  # noqa: BLE001
             queries[name] = -1.0
             extras.setdefault("errors", {})[name] = str(e)[:200]
+        finally:
+            tempfile.tempdir = prev_tmp
+            shutil.rmtree(qtmp, ignore_errors=True)
 
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
     if os.path.exists(scaling_path):

@@ -24,7 +24,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# spark-submit ships the package via --py-files; plain `python
+# jobs/replay_job.py` needs the repo root on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str] | None = None) -> None:
