@@ -16,6 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from chomper_spark import schema as S
 from chomper_spark.functions import docdedup as dd
 from chomper_spark.functions import multimodal as mm
 from chomper_spark.functions import similarity as sim
@@ -453,6 +454,79 @@ def _q_streaming_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return app.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
+def _q_truncate_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/E10 TRUNCATE under the hash gate: apply batches 0..2, truncate
+    (the full-refresh precursor, examples/companies.py:13), then apply
+    batches 3..4 — the table must hold exactly the post-truncate
+    batches' latest-wins state, with the batch ledger intact."""
+    feed = with_batch_id(change_feed_from_events(spark, sf_dir), 5).persist()
+    sink = SnapshotMergeSink(
+        spark, tempfile.mkdtemp(prefix="chomper_spark_trunc_"), n_buckets=16
+    )
+    for b in range(3):
+        sink.apply_batch(
+            feed.filter(F.col("batch_id") == b).drop("batch_id"),
+            batch_id=b, collect_metrics=False,
+        )
+    sink.truncate(batch_id=100)
+    for b in range(3, 5):
+        sink.apply_batch(
+            feed.filter(F.col("batch_id") == b).drop("batch_id"),
+            batch_id=b, collect_metrics=False,
+        )
+    feed.unpersist()
+    return sink.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+def _q_stateful_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X20 under the hash gate: the applyInPandasWithState per-conv
+    tracker run over the streamed feed; after draining, each conv's
+    LAST emitted update must equal the full-feed aggregate (events
+    seen, tool calls, newest op_ts) — cross-batch state, relationally
+    checked."""
+    import os
+
+    from chomper_spark.streaming.stateful import conversation_tracker
+
+    work = tempfile.mkdtemp(prefix="chomper_spark_state_q_")
+    feed_dir = os.path.join(work, "feed")
+    out_dir = os.path.join(work, "out")
+    feed = with_batch_id(change_feed_from_events(spark, sf_dir), 3)
+    for b in range(3):
+        feed.filter(F.col("batch_id") == b).drop("batch_id").coalesce(1).write.mode(
+            "append"
+        ).parquet(feed_dir)
+    stream = (
+        spark.readStream.schema(S.CHANGE_EVENT)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    tracked = conversation_tracker(stream)
+
+    def _sink(batch_df, batch_id: int) -> None:
+        batch_df.withColumn("_b", F.lit(batch_id)).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"b{batch_id}")
+        )
+
+    q = (
+        tracked.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    updates = spark.read.parquet(os.path.join(out_dir, "*"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy(F.col("_b").desc())
+    return (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("conv_id", "turns_seen", "tool_calls", "last_op_ts")
+    )
+
+
 def _q_importer_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's top-level Importer shape end-to-end
     (chomper/importers.py:25-89; examples/companies.py:10-23): named
@@ -564,6 +638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_travel": _q_time_travel,
         "cdc_schema_evolution": _q_schema_evolution,
         "cdc_streaming_apply": _q_streaming_apply,
+        "cdc_truncate_reload": _q_truncate_reload,
+        "stream_stateful_tracker": _q_stateful_tracker,
         "asof_join_last_order": _q_asof_join,
         "asof_join_chunked": _q_asof_join_chunked,
         "conv_assemble_text": _q_conv_assemble,
@@ -720,6 +796,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM ranked WHERE rn = 1 AND op <> 'D'"
         ),
         "cdc_streaming_apply": FINAL_STATE_SQL,
+        "cdc_truncate_reload": (
+            f"WITH {_FEED_CTE}, "
+            "sub AS (SELECT * FROM feed WHERE CAST(batch_seq % 5 AS INTEGER) >= 3), "
+            "ranked AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx "
+            "ORDER BY op_ts DESC, batch_seq DESC) AS rn FROM sub) "
+            "SELECT conv_id, turn_idx, role, text, tool, ts "
+            "FROM ranked WHERE rn = 1 AND op <> 'D'"
+        ),
+        "stream_stateful_tracker": (
+            f"WITH {_FEED_CTE} "
+            "SELECT conv_id, CAST(count(*) AS BIGINT) AS turns_seen, "
+            "CAST(count(tool) AS BIGINT) AS tool_calls, max(op_ts) AS last_op_ts "
+            "FROM feed GROUP BY conv_id"
+        ),
         # the applied-event sequence per key = each batch's newest event
         # iff it beats every earlier batch's newest; change rows compare
         # consecutive applied events on live (non-deleted) state.
