@@ -140,11 +140,19 @@ def main() -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as fh:
         json.dump(summary, fh, indent=2)
-    with open(os.path.join(REPO, "BENCH", "SCALING.md"), "w") as fh:
+    # APPEND a dated section — SCALING.md carries the cross-round curve
+    # and methodology analysis; clobbering it would lose that history
+    md = os.path.join(REPO, "BENCH", "SCALING.md")
+    if not os.path.exists(md):
+        with open(md, "w") as fh:
+            fh.write(
+                "# Scaling: same CDC replay job at N and 4N cores\n\n"
+                "Sandbox proxy for N→4N executors (driver instruction): identical\n"
+                "deterministic input, fresh JVM per level, untimed warmup replay.\n"
+            )
+    with open(md, "a") as fh:
         fh.write(
-            "# Scaling: same CDC replay job at N and 4N cores\n\n"
-            "Sandbox proxy for N→4N executors (driver instruction): identical\n"
-            "deterministic input, fresh JVM per level, untimed warmup replay.\n\n"
+            f"\n## Run ({summary['job']})\n\n"
             "| cores | events | wall (s) | events/sec |\n|---|---|---|---|\n"
         )
         for r in results:
