@@ -604,6 +604,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": lambda s, d: dd.exact_dedup(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(_docs(s, d)),
         "dedup_minhash_lsh": lambda s, d: dd.minhash_lsh_pairs(_docs(s, d)),
+        "dedup_clusters": lambda s, d: dd.dedup_clusters(
+            dd.minhash_lsh_pairs(_docs(s, d)).filter(F.col("jaccard") >= 0.8)
+        ),
         "dedup_simhash": lambda s, d: dd.simhash(_docs(s, d)),
         "dedup_simhash_pairs": lambda s, d: dd.simhash_pairs(_docs(s, d)),
         "ann_bruteforce_topk": lambda s, d: sim.ann_bruteforce_topk(_emb(s, d)),
@@ -657,6 +660,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dd.EXACT_DEDUP_SQL,
         "dedup_ngram_jaccard": dd.ngram_jaccard_sql(),
         "dedup_minhash_lsh": dd.minhash_lsh_sql(),
+        "dedup_clusters": dd.dedup_clusters_sql(dd.minhash_lsh_sql(), threshold=0.8),
         "dedup_simhash": dd.simhash_sql(),
         "dedup_simhash_pairs": dd.simhash_pairs_sql(),
         "ann_bruteforce_topk": sim.ann_bruteforce_sql(),

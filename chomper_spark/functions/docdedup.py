@@ -285,6 +285,115 @@ FROM common c JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id
 """
 
 
+# ------------------------------------------------------- duplicate clusters
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    col_a: str = "doc_a",
+    col_b: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS (connected
+    components) and pick a canonical doc per cluster — the step a
+    dedup pipeline actually acts on ("keep one per cluster").
+
+    Iterative min-label propagation (Pregel-style connected
+    components): every node starts labeled with itself; each round a
+    node takes the min of its own and its neighbors' labels; converged
+    when no label changes.  Rounds needed = component diameter —
+    near-dup clusters are shallow (dupes of one source), so this
+    terminates in a few rounds; ``max_iters`` is a backstop, and hitting
+    it raises rather than silently returning unconverged labels.
+    Per-round cost: one shuffle join of the (small) edge list against
+    the label table + one aggregate — at 10^10 docs the edge list is
+    the candidate-pair output, orders of magnitude smaller than the
+    corpus.  (For adversarial long-chain graphs, swap in the
+    large-star/small-star variant; the contract is unchanged.)
+
+    Returns (doc_id, cluster_id, is_canonical) for every doc appearing
+    in ≥1 pair; cluster_id = min doc_id of the component."""
+    e = pairs.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst"))
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("doc_id"), F.col("src").alias("cluster_id"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iters):
+            neigh = (
+                edges.join(
+                    labels.select(
+                        F.col("doc_id").alias("dst"), F.col("cluster_id").alias("_nl")
+                    ),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.min("_nl").alias("_min_neigh"))
+            )
+            new_labels = (
+                labels.join(neigh.withColumnRenamed("src", "doc_id"), "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("cluster_id"), F.coalesce(F.col("_min_neigh"), F.col("cluster_id"))
+                    ).alias("cluster_id"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"dedup_clusters did not converge in {max_iters} rounds "
+                "(component diameter too large — use large-star/small-star)"
+            )
+        return labels.select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        )
+    finally:
+        edges.unpersist()
+
+
+def dedup_clusters_sql(pairs_sql: str, threshold: float | None = None) -> str:
+    """DuckDB twin: recursive CTE reachability → min node per component.
+    ``pairs_sql`` is any query yielding (doc_a, doc_b[, jaccard])."""
+    where = f"WHERE jaccard >= {threshold}" if threshold is not None else ""
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT * FROM ({pairs_sql}) {where}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach(doc_id, root) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc_id
+)
+SELECT doc_id, min(root) AS cluster_id, doc_id = min(root) AS is_canonical
+FROM reach GROUP BY doc_id
+"""
+
+
 # ------------------------------------------------------------------- SimHash
 
 

@@ -164,6 +164,31 @@ def test_lsh_bucket_cap_bounds_candidates_on_skew(spark):
     assert out.count() == 10  # only capped members surface neighbors
 
 
+def test_dedup_clusters_connected_components(spark):
+    # chain 1-2-3-4 plus pair 10-11 plus isolated pair member ordering:
+    # clusters = min-id components; canonical = the min member
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in dd.dedup_clusters(pairs).collect()}
+    assert out == {
+        1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False),
+        10: (10, True), 11: (10, False),
+        20: (20, True), 21: (20, False),
+    }
+
+
+def test_dedup_clusters_nonconvergence_raises(spark):
+    import pytest as _pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dd.dedup_clusters(chain, max_iters=2)
+
+
 def test_ngram_jaccard_df_cap_bounds_candidates(spark):
     # planted hot shingle: every doc shares the phrase "of the and" —
     # uncapped candidate generation is O(docs²); with max_df the hot
