@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from chomper_spark import schema as S
+from chomper_spark.functions import curation as cur
 from chomper_spark.functions import docdedup as dd
 from chomper_spark.functions import multimodal as mm
 from chomper_spark.functions import similarity as sim
@@ -613,6 +614,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucketed": lambda s, d: sim.lsh_bucketed_ann(_emb(s, d)),
         "ann_ivf_topk": lambda s, d: sim.ivf_topk(_emb(s, d)),
         "emb_neardup_cosine": lambda s, d: sim.embedding_neardup_pairs(_emb(s, d)),
+        "curation_stratified_sample": lambda s, d: cur.stratified_sample(
+            _docs(s, d), {"en": 0.3, "de": 0.8}
+        ),
+        "curation_pack_chunks": lambda s, d: cur.pack_chunks(_docs(s, d)),
+        "curation_decontaminate": lambda s, d: cur.decontaminate(_docs(s, d)),
         "multimodal_features": lambda s, d: mm.multimodal_features(_docs(s, d)),
         "multimodal_resize": lambda s, d: mm.multimodal_resize(_docs(s, d)),
         "multimodal_frames": lambda s, d: mm.multimodal_frames(_docs(s, d)),
@@ -667,6 +673,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_bucketed": sim.lsh_bucketed_ann_sql(),
         "ann_ivf_topk": sim.ivf_topk_sql(),
         "emb_neardup_cosine": sim.embedding_neardup_sql(),
+        "curation_stratified_sample": cur.stratified_sample_sql({"en": 0.3, "de": 0.8}),
+        "curation_pack_chunks": cur.pack_chunks_sql(),
+        "curation_decontaminate": cur.decontaminate_sql(),
         "multimodal_features": mm.MULTIMODAL_FEATURES_SQL,
         "multimodal_resize": mm.multimodal_resize_sql(),
         "multimodal_frames": mm.multimodal_frames_sql(),

@@ -269,3 +269,56 @@ def test_function_queries_stay_jvm_side(spark):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
+
+
+def test_stratified_sample_deterministic_and_rate_shaped(spark):
+    from chomper_spark.functions import curation as cur
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en" if i % 2 == 0 else "de") for i in range(400)],
+        "doc_id long, text string, lang string",
+    )
+    out = cur.stratified_sample(docs, {"en": 0.0, "de": 1.0})
+    kept = {r["doc_id"]: r["kept"] for r in out.collect()}
+    assert not any(kept[i] for i in range(0, 400, 2))   # en: rate 0
+    assert all(kept[i] for i in range(1, 400, 2))       # de: rate 1
+    # a mid rate keeps roughly that fraction, identically across runs
+    mid = cur.stratified_sample(docs, {"en": 0.5}, default_rate=0.5)
+    a = {r["doc_id"]: r["kept"] for r in mid.collect()}
+    b = {r["doc_id"]: r["kept"] for r in mid.collect()}
+    assert a == b
+    frac = sum(a.values()) / len(a)
+    assert 0.35 < frac < 0.65
+
+
+def test_pack_chunks_layout(spark):
+    from chomper_spark.functions import curation as cur
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 10)) for i in range(12)], "doc_id long, text string"
+    )
+    out = cur.pack_chunks(docs, budget=25, n_shards=1).collect()
+    rows = sorted(out, key=lambda r: r["doc_id"])
+    # 10-token docs into 25-token sequences: offsets cycle 0,10,20,5,15,...
+    assert [r["offset"] for r in rows[:5]] == [0, 10, 20, 5, 15]
+    assert [r["seq_in_shard"] for r in rows[:5]] == [0, 0, 0, 1, 1]
+    # every doc placed exactly once; cumulative layout is gapless
+    total = sum(r["n_tokens"] for r in rows)
+    last = rows[-1]
+    assert last["seq_in_shard"] * 25 + last["offset"] == total - last["n_tokens"]
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    from chomper_spark.functions import curation as cur
+
+    eval_doc = (0, "the quick brown fox jumps over the lazy dog")
+    docs = spark.createDataFrame(
+        [
+            eval_doc,                                         # doc 0: eval (0 % 97 == 0)
+            (1, "prefix the quick brown fox jumps suffix x"), # shares a 5-gram
+            (2, "completely different words entirely here"),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["contaminated"] for r in cur.decontaminate(docs).collect()}
+    assert out == {1: True, 2: False}  # eval doc itself excluded from output
