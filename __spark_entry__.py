@@ -602,6 +602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": lambda s, d: txt.quality_score(_docs(s, d)),
         "text_lang_id": lambda s, d: txt.lang_id(_docs(s, d)),
         "text_fingerprint": lambda s, d: txt.fingerprint(_docs(s, d)),
+        "text_repetition_stats": lambda s, d: txt.repetition_stats(_docs(s, d)),
+        "text_redact_pii": lambda s, d: txt.redact_pii(_docs(s, d)),
         "dedup_exact": lambda s, d: dd.exact_dedup(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(_docs(s, d)),
         "dedup_minhash_lsh": lambda s, d: dd.minhash_lsh_pairs(_docs(s, d)),
@@ -663,6 +665,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_score": txt.QUALITY_SCORE_SQL,
         "text_lang_id": txt.LANG_ID_SQL,
         "text_fingerprint": txt.FINGERPRINT_SQL,
+        "text_repetition_stats": txt.REPETITION_STATS_SQL,
+        "text_redact_pii": txt.REDACT_PII_SQL,
         "dedup_exact": dd.EXACT_DEDUP_SQL,
         "dedup_ngram_jaccard": dd.ngram_jaccard_sql(),
         "dedup_minhash_lsh": dd.minhash_lsh_sql(),

@@ -188,3 +188,92 @@ SELECT doc_id,
                 i -> {hex60_duck("substr(text, i, 8)")})) AS fp_winnow
 FROM documents
 """
+
+
+# ------------------------------------------------------------ repetition
+
+REP_NGRAM = 2
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Within-document repetition heuristics (the Gopher-style quality
+    rules): fraction of tokens in duplicate 2-grams and the share of
+    the single most frequent 2-gram.  Highly repetitive docs (boiler-
+    plate, keyword stuffing, degenerate generations) score high and get
+    filtered.  One explode + one groupBy per doc — all codegen."""
+    bg = F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)), "
+        "i -> array_join(slice(split(text, ' '), i, 2), ' '))"
+    )
+    per_gram = (
+        docs.select("doc_id", F.explode(bg).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("_n"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("_dup"),
+            F.max("c").alias("_top"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.col("_dup").cast("double") / F.col("_n").cast("double"), 6).alias(
+                "dup_bigram_frac"
+            ),
+            F.round(F.col("_top").cast("double") / F.col("_n").cast("double"), 6).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+
+REPETITION_STATS_SQL = """
+WITH grams AS (
+  SELECT doc_id, unnest(list_transform(
+    range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+    i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS g
+  FROM documents
+),
+per_gram AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g)
+SELECT doc_id,
+       round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c)::DOUBLE, 6) AS dup_bigram_frac,
+       round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS top_bigram_frac
+FROM per_gram GROUP BY doc_id
+"""
+
+
+# ------------------------------------------------------------ PII redaction
+
+# conservative patterns shared verbatim by Spark (Java regex) and DuckDB
+# (RE2): no lookarounds, no backrefs
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """Scrub obvious PII (emails, NNN-NNN-NNNN phone shapes) before a
+    corpus ships to training — plain regexp_replace, fully JVM-side.
+    Returns the redacted text plus match counts for audit."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        redacted.alias("text_redacted"),
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(PII_PHONE_RE)).alias("n_phones"),
+    )
+
+
+REDACT_PII_SQL = f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{PII_PHONE_RE}', '<PHONE>', 'g') AS text_redacted,
+       len(regexp_extract_all(text, '{PII_EMAIL_RE}'))::INT AS n_emails,
+       len(regexp_extract_all(text, '{PII_PHONE_RE}'))::INT AS n_phones
+FROM documents
+"""

@@ -322,3 +322,27 @@ def test_decontaminate_flags_ngram_overlap(spark):
     )
     out = {r["doc_id"]: r["contaminated"] for r in cur.decontaminate(docs).collect()}
     assert out == {1: True, 2: False}  # eval doc itself excluded from output
+
+
+def test_repetition_stats_flags_repetitive_docs(spark):
+    docs = spark.createDataFrame(
+        [(0, "buy now buy now buy now buy now"),  # pure repetition
+         (1, "each word here appears exactly once total")],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x for x in txt.repetition_stats(docs).collect()}
+    assert r[0]["dup_bigram_frac"] > 0.8 and r[0]["top_bigram_frac"] > 0.5
+    assert r[1]["dup_bigram_frac"] == 0.0
+
+
+def test_redact_pii(spark):
+    docs = spark.createDataFrame(
+        [(0, "mail me at jane.doe+x@example.org or call 555-123-4567 now"),
+         (1, "nothing sensitive here")],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x for x in txt.redact_pii(docs).collect()}
+    assert r[0]["text_redacted"] == "mail me at <EMAIL> or call <PHONE> now"
+    assert r[0]["n_emails"] == 1 and r[0]["n_phones"] == 1
+    assert r[1]["text_redacted"] == "nothing sensitive here"
+    assert r[1]["n_emails"] == 0 and r[1]["n_phones"] == 0
