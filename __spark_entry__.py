@@ -492,8 +492,8 @@ def _q_stateful_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="chomper_spark_state_q_")
     feed_dir = os.path.join(work, "feed")
     out_dir = os.path.join(work, "out")
-    feed = with_batch_id(change_feed_from_events(spark, sf_dir), 3)
-    for b in range(3):
+    feed = with_batch_id(change_feed_from_events(spark, sf_dir), 2)
+    for b in range(2):
         feed.filter(F.col("batch_id") == b).drop("batch_id").coalesce(1).write.mode(
             "append"
         ).parquet(feed_dir)
@@ -509,14 +509,22 @@ def _q_stateful_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(out_dir, f"b{batch_id}")
         )
 
-    q = (
-        tracked.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # the state store opens one instance per shuffle partition per
+    # trigger — at sf0.01 (150 convs) 32 partitions is pure overhead;
+    # restore the session setting afterwards
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            tracked.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     updates = spark.read.parquet(os.path.join(out_dir, "*"))
     from pyspark.sql import Window
 

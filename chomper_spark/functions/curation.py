@@ -69,10 +69,18 @@ def stratified_sample_sql(
 ) -> str:
     keyed = f"concat('{salt}#', cast(doc_id AS VARCHAR))"
     u = f"{hex60_duck(keyed)} / {float(2**60)!r}"
-    arms = " ".join(f"WHEN {strata_col} = '{k}' THEN {float(v)!r}" for k, v in rates.items())
+    if rates:
+        arms = " ".join(
+            f"WHEN {strata_col} = '{str(k).replace(chr(39), chr(39) * 2)}' "
+            f"THEN {float(v)!r}"
+            for k, v in rates.items()
+        )
+        rate = f"(CASE {arms} ELSE {float(default_rate)!r} END)"
+    else:  # CASE with zero WHEN arms is a parse error — emit the literal
+        rate = f"{float(default_rate)!r}"
     return f"""
 SELECT doc_id, {strata_col} AS stratum,
-       ({u}) < (CASE {arms} ELSE {float(default_rate)!r} END) AS kept
+       ({u}) < {rate} AS kept
 FROM documents
 """
 

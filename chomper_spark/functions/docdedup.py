@@ -362,13 +362,18 @@ def dedup_clusters(
                 f"dedup_clusters did not converge in {max_iters} rounds "
                 "(component diameter too large — use large-star/small-star)"
             )
+        # materialize off the cache (eager localCheckpoint truncates the
+        # per-round join lineage) so the final labels cache can be
+        # released — callers get a self-contained result, and repeated
+        # calls don't accumulate orphaned cached RDDs
         return labels.select(
             "doc_id",
             "cluster_id",
             (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
-        )
+        ).localCheckpoint(eager=True)
     finally:
         edges.unpersist()
+        labels.unpersist()
 
 
 def dedup_clusters_sql(pairs_sql: str, threshold: float | None = None) -> str:

@@ -144,14 +144,10 @@ def _band_bucket_sql(
     return "(" + " + ".join(bits) + ")"
 
 
-def _banded(
-    emb: DataFrame, bands: int, rows: int, dim: int, cap: int
-) -> DataFrame:
-    """Melt each vector into (vec_id, band_idx, bucket) rows, capped at
-    ``cap`` members per (band, bucket) — deterministic (lowest vec_ids
-    kept), mirrored exactly in the SQL oracle.  The melt carries ONLY
-    the id + two small ints: the 64-float payload never rides the
-    candidate shuffle (it is joined back by id for verification)."""
+def _melt_bands(emb: DataFrame, bands: int, rows: int, dim: int) -> DataFrame:
+    """One (vec_id, band_idx, bucket) row per vector per band — the
+    shared melt under both candidate generation and the occupancy
+    stats, so the two can never disagree about bucket membership."""
     sig = emb.select(
         "vec_id",
         *[
@@ -161,7 +157,7 @@ def _banded(
             for b in range(bands)
         ],
     )
-    melted = sig.select(
+    return sig.select(
         "vec_id",
         F.explode(
             F.array(
@@ -174,6 +170,17 @@ def _banded(
             )
         ).alias("bb"),
     ).select("vec_id", "bb.band_idx", "bb.bucket")
+
+
+def _banded(
+    emb: DataFrame, bands: int, rows: int, dim: int, cap: int
+) -> DataFrame:
+    """Melt each vector into (vec_id, band_idx, bucket) rows, capped at
+    ``cap`` members per (band, bucket) — deterministic (lowest vec_ids
+    kept), mirrored exactly in the SQL oracle.  The melt carries ONLY
+    the id + two small ints: the 64-float payload never rides the
+    candidate shuffle (it is joined back by id for verification)."""
+    melted = _melt_bands(emb, bands, rows, dim)
     w = Window.partitionBy("band_idx", "bucket").orderBy("vec_id")
     return melted.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= cap
@@ -211,28 +218,9 @@ def lsh_candidate_stats(
 ) -> DataFrame:
     """Per-(band, bucket) occupancy + what the cap would drop — the
     "no silent caps" counter: members_dropped vectors emit no
-    candidates from that band.  One aggregate over the melt."""
-    sig = emb.select(
-        "vec_id",
-        *[
-            F.expr(_band_bucket_sql(_SP, "embedding", b, rows, dim))
-            .cast("int")
-            .alias(f"band{b}")
-            for b in range(bands)
-        ],
-    )
-    melted = sig.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("bucket")
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("bb.band_idx", "bb.bucket")
+    candidates from that band.  One aggregate over the SAME melt the
+    candidate generation uses."""
+    melted = _melt_bands(emb, bands, rows, dim)
     return melted.groupBy("band_idx", "bucket").agg(
         F.count(F.lit(1)).alias("members"),
         F.greatest(F.count(F.lit(1)) - F.lit(cap), F.lit(0)).alias("members_dropped"),

@@ -152,6 +152,15 @@ def drop_path(path: str) -> Transform:
         top = str(keys[0])
         if len(keys) == 1:
             return df.drop(top)
+        if any(isinstance(k, int) for k in keys[1:]):
+            # dropping a struct field of ONE array element would give
+            # that element a different schema than its siblings —
+            # impossible (array elements share one type)
+            raise NotImplementedError(
+                "cannot drop a field under an array index (array elements "
+                "share one schema) — use nullify_path, or rename/drop on "
+                "the array itself via rename_keys"
+            )
         parent_keys, leaf = keys[1:-1], keys[-1]
         parent_type = _dtype_at(df.schema, [top, *parent_keys])
         if isinstance(parent_type, T.StructType):
@@ -192,6 +201,16 @@ def nested_defaults(path: str, defaults: dict) -> Transform:
 
         if isinstance(dtype, T.StructType):
             existing = {f_.name for f_ in dtype.fields}
+            if any(isinstance(k, int) for k in keys[1:]) and any(
+                k not in existing for k in defaults
+            ):
+                # appending a NEW struct field to one array element would
+                # diverge its schema from its siblings — impossible
+                raise NotImplementedError(
+                    "cannot append new struct keys under an array index "
+                    "(array elements share one schema) — default only "
+                    "existing keys there, or restructure as a map"
+                )
             filled = col
             for k, v in defaults.items():
                 filled = (

@@ -297,12 +297,15 @@ class SnapshotMergeSink:
         ``apply_batch(emit_change_rows=True)``: one row per
         (key, field, old_value, new_value, batch_id) — what downstream
         CDC consumers tail (full E6, chomper/contrib/sql/
-        exporters.py:304-333).  None if no changes were ever emitted."""
-        cdir = os.path.join(self.root, "changes")
-        if not os.path.isdir(cdir) or not os.listdir(cdir):
+        exporters.py:304-333).  Only change dirs referenced by the
+        CURRENT manifest are visible (commit-atomic with the table
+        state; truncate clears them).  None if no committed changes."""
+        m = self.current_manifest()
+        rels = sorted((m or {}).get("changes", {}).values())
+        if not rels:
             return None
         return self.spark.read.parquet(
-            *[os.path.join(cdir, d) for d in sorted(os.listdir(cdir))]
+            *[os.path.join(self.root, rel) for rel in rels]
         )
 
     # ------------------------------------------------------------- merging
@@ -348,15 +351,27 @@ class SnapshotMergeSink:
         if emit_change_rows and not listen_fields:
             raise ValueError("emit_change_rows needs listen_fields")
 
-        payload_schema = T.StructType(
-            [f_ for f_ in batch.schema.fields if f_.name not in (S.OP_COL, *self.version_cols, "batch_id", *S.AUDIT_COLS)]
+        # on an AUDIT sink the audit column names are engine-reserved
+        # (never payload); a plain sink must NOT strip user columns that
+        # merely share those common names
+        reserved = (
+            (S.OP_COL, *self.version_cols, "batch_id", *S.AUDIT_COLS)
+            if self.audit_timestamps
+            else (S.OP_COL, *self.version_cols, "batch_id")
         )
-        # -- schema evolution against the live table schema (audit cols
-        # are engine-managed state, never payload)
+        payload_schema = T.StructType(
+            [f_ for f_ in batch.schema.fields if f_.name not in reserved]
+        )
+        # -- schema evolution against the live table schema
         if manifest:
             cur_state_schema = T.StructType.fromJson(json.loads(manifest["schema"]))
             cur_payload = T.StructType(
-                [f_ for f_ in cur_state_schema.fields if f_.name not in (*S.META_COLS, *S.AUDIT_COLS)]
+                [
+                    f_
+                    for f_ in cur_state_schema.fields
+                    if f_.name not in S.META_COLS
+                    and not (self.audit_timestamps and f_.name in S.AUDIT_COLS)
+                ]
             )
             new_payload, report = evolve_schema(cur_payload, payload_schema)
             metrics.schema_added = report.added_columns
@@ -442,6 +457,7 @@ class SnapshotMergeSink:
             metrics.dedup_drops = metrics.events_in - metrics.merge_rows
 
         tgt = self._read_buckets(manifest, touched) if manifest else None
+        changes_written = False
         audit_cols = (
             [
                 F.lit(batch_time).cast("timestamp").alias(S.AUDIT_CREATED),
@@ -503,6 +519,27 @@ class SnapshotMergeSink:
                 return F.when(take_src, s_c).otherwise(t_c).alias(c)
 
             live_t = t_present & ~F.col(f"t.{S.META_DELETED}")
+
+            def applied_val(c: str) -> F.Column:
+                """The value an applied UPDATE actually writes for c —
+                change counts/rows must reflect what lands in the table,
+                not the raw source image (update_only_nulls only fills
+                target NULLs; protected columns are never written)."""
+                t_c, s_c = F.col(f"t.{c}"), F.col(f"s.{c}")
+                if c in protected:
+                    return t_c
+                if update_only_nulls:
+                    return F.coalesce(t_c, s_c)
+                return s_c
+
+            def field_changed(c: str) -> F.Column:
+                return (
+                    take_src
+                    & live_t
+                    & (F.col(f"s.{S.OP_COL}") != "D")
+                    & ~applied_val(c).eqNullSafe(F.col(f"t.{c}"))
+                )
+
             if collect_metrics:
                 # per-op counts + field-change counts ride the write job
                 aggs = [
@@ -510,14 +547,7 @@ class SnapshotMergeSink:
                     F.sum(F.when(take_src & live_t & (F.col(f"s.{S.OP_COL}") != "D"), 1).otherwise(0)).alias("upd"),
                     F.sum(F.when(take_src & live_t & (F.col(f"s.{S.OP_COL}") == "D"), 1).otherwise(0)).alias("del"),
                 ] + [
-                    F.sum(
-                        F.when(
-                            take_src & live_t
-                            & (F.col(f"s.{S.OP_COL}") != "D")
-                            & ~F.col(f"s.{c}").eqNullSafe(F.col(f"t.{c}")),
-                            1,
-                        ).otherwise(0)
-                    ).alias(f"chg_{c}")
+                    F.sum(F.when(field_changed(c), 1).otherwise(0)).alias(f"chg_{c}")
                     for c in listen_fields
                 ]
                 joined = joined.observe(obs_write, *aggs)
@@ -570,8 +600,8 @@ class SnapshotMergeSink:
                                     F.struct(
                                         F.lit(c).alias("field"),
                                         F.col(f"t.{c}").cast("string").alias("old_value"),
-                                        F.col(f"s.{c}").cast("string").alias("new_value"),
-                                        (~F.col(f"s.{c}").eqNullSafe(F.col(f"t.{c}"))).alias("_chg"),
+                                        applied_val(c).cast("string").alias("new_value"),
+                                        (~applied_val(c).eqNullSafe(F.col(f"t.{c}"))).alias("_chg"),
                                     )
                                     for c in listen_fields
                                 ]
@@ -589,6 +619,7 @@ class SnapshotMergeSink:
                 changed_rows.write.mode("overwrite").parquet(
                     os.path.join(self.root, "changes", f"batch_id={batch_id}")
                 )
+                changes_written = True
 
         # -- write the new snapshot (only touched buckets)
         snap_id = (manifest["snapshot_id"] + 1) if manifest else 0
@@ -627,12 +658,20 @@ class SnapshotMergeSink:
             # the COW rewrite folded any delta chain for this bucket
             deltas.pop(str(k), None)
         committed = sorted(set(manifest["committed_batches"]) | {batch_id}) if manifest else [batch_id]
+        # change-audit dirs become VISIBLE only via the manifest: the
+        # parquet write above happens pre-commit, so a crash before the
+        # _CURRENT flip leaves an unreferenced (invisible) dir, never a
+        # phantom change row for an uncommitted batch
+        changes_map = dict(manifest.get("changes", {})) if manifest else {}
+        if changes_written:  # first-ever batch has no pre-image → no dir
+            changes_map[str(batch_id)] = f"changes/batch_id={batch_id}"
         self._commit(
             {
                 "snapshot_id": snap_id,
                 "committed_batches": committed,
                 "buckets": buckets,
                 "deltas": deltas,
+                "changes": changes_map,
                 "schema": json.dumps(state_schema.jsonValue()),
                 "key_cols": self.key_cols,
                 "n_buckets": self.n_buckets,
@@ -761,6 +800,7 @@ class SnapshotMergeSink:
                 "committed_batches": committed,
                 "buckets": buckets,
                 "deltas": deltas,
+                "changes": dict(manifest.get("changes", {})) if manifest else {},
                 "schema": json.dumps(state_schema.jsonValue()),
                 "key_cols": self.key_cols,
                 "n_buckets": self.n_buckets,
@@ -791,6 +831,7 @@ class SnapshotMergeSink:
         )  # newest first
         keep = set(names[:keep_manifests]) | {current_name}
         live_snapshots: set[str] = set()
+        live_changes: set[str] = set()
         for name in keep:
             try:
                 with open(os.path.join(mdir, name)) as fh:
@@ -802,6 +843,8 @@ class SnapshotMergeSink:
             for chain in man.get("deltas", {}).values():
                 for rel in chain:
                     live_snapshots.add(rel.split("/")[1])
+            for rel in man.get("changes", {}).values():
+                live_changes.add(rel.split("/", 1)[1])  # changes/<dir>
             live_snapshots.add(f"s{man['snapshot_id']:08d}")
         sdir = os.path.join(self.root, "snapshots")
         stats = {"snapshots_removed": 0, "manifests_removed": 0, "bytes_freed": 0}
@@ -819,6 +862,19 @@ class SnapshotMergeSink:
             if name not in keep:
                 os.remove(os.path.join(mdir, name))
                 stats["manifests_removed"] += 1
+        # change-audit dirs not referenced by any retained manifest
+        # (crash debris or pre-truncate history) are garbage too
+        cdir = os.path.join(self.root, "changes")
+        if os.path.isdir(cdir):
+            for d in os.listdir(cdir):
+                if d not in live_changes:
+                    full = os.path.join(cdir, d)
+                    stats["bytes_freed"] += sum(
+                        os.path.getsize(os.path.join(r, f))
+                        for r, _, fs in os.walk(full)
+                        for f in fs
+                    )
+                    _shutil.rmtree(full, ignore_errors=True)
         return stats
 
     def truncate(self, batch_id: int | None = None) -> None:
@@ -849,6 +905,9 @@ class SnapshotMergeSink:
                 "committed_batches": sorted(committed),
                 "buckets": {},
                 "deltas": {},
+                # full refresh also resets the visible change history —
+                # the orphaned dirs are GC'd by expire_snapshots
+                "changes": {},
                 "schema": schema,
                 "key_cols": self.key_cols,
                 "n_buckets": self.n_buckets,

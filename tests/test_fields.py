@@ -163,3 +163,14 @@ def test_map_deep_path_raises(spark):
     df = _nested_df(spark)
     with pytest.raises(Exception, match="FINAL path segment|cannot"):
         pipe(df, fp.set_path("props.a.b", "x"))
+
+
+def test_drop_path_under_array_index_raises_clearly(spark):
+    df = _nested_df(spark)
+    with pytest.raises(NotImplementedError, match="array index"):
+        pipe(df, fp.drop_path("friends[0].name"))
+    with pytest.raises(NotImplementedError, match="array index"):
+        pipe(df, fp.nested_defaults("friends[0]", {"brand_new": "x"}))
+    # defaulting EXISTING keys under an index is fine
+    out = pipe(df, fp.nested_defaults("friends[0]", {"name": "anon"}))
+    assert out.filter("id = 1").collect()[0]["friends"][0]["name"] == "f1"

@@ -346,3 +346,14 @@ def test_redact_pii(spark):
     assert r[0]["n_emails"] == 1 and r[0]["n_phones"] == 1
     assert r[1]["text_redacted"] == "nothing sensitive here"
     assert r[1]["n_emails"] == 0 and r[1]["n_phones"] == 0
+
+
+def test_stratified_sample_sql_empty_rates_parses():
+    import duckdb
+
+    from chomper_spark.functions import curation as cur
+
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT 1::BIGINT AS doc_id, 'en' AS lang, 't' AS text")
+    out = con.sql(cur.stratified_sample_sql({}, default_rate=1.0)).df()
+    assert bool(out["kept"][0]) is True

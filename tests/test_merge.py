@@ -428,3 +428,63 @@ def test_audit_timestamps_compose_with_update_only_nulls(spark, tmp_table):
     r = sink.read().collect()[0]
     assert r["text"] == "keep" and r["tool"] == "browser"  # only NULL filled
     assert r["created_at"] == t0 and r["updated_at"] == t1
+
+
+def test_user_created_at_column_not_swallowed_by_plain_sink(spark, tmp_table):
+    # a NON-audit sink must treat payload columns that merely share the
+    # audit names (created_at/updated_at are common in source tables)
+    # as ordinary user data
+    import datetime as dt
+
+    from chomper_spark.schema import CHANGE_EVENT
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        CHANGE_EVENT.fields + [T.StructField("created_at", T.TimestampType(), True)]
+    )
+    ts = dt.datetime(2020, 5, 5)
+    rows = [{**ev("I", "c1", 0, 1), "created_at": ts}]
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=2)
+    sink.apply_batch(spark.createDataFrame(rows, schema=schema), batch_id=0)
+    out = sink.read().collect()[0]
+    assert out["created_at"] == ts  # user column survived
+
+
+def test_change_rows_respect_update_only_nulls_and_protected(spark, tmp_table):
+    # change counts/rows must reflect what the MERGE actually WROTE:
+    # update_only_nulls keeps non-NULL targets, protected never writes
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=2)
+    sink.apply_batch(
+        feed_df(spark, [ev("I", "c1", 0, 1, text="keep", tool=None, role="user")]),
+        batch_id=0)
+    m = sink.apply_batch(
+        feed_df(spark, [ev("U", "c1", 0, 2, text="clobber", tool="browser", role="admin")]),
+        batch_id=1, update_only_nulls=True, protected=("role",),
+        listen_fields=("text", "tool", "role"), emit_change_rows=True)
+    # applied: text kept (non-NULL target), tool filled (was NULL), role protected
+    assert m.field_changes == {"text": 0, "tool": 1, "role": 0}
+    changes = sink.read_changes().collect()
+    assert len(changes) == 1
+    c = changes[0]
+    assert (c["field"], c["old_value"], c["new_value"]) == ("tool", None, "browser")
+    row = sink.read().collect()[0]
+    assert row["text"] == "keep" and row["tool"] == "browser" and row["role"] == "user"
+
+
+def test_changes_commit_atomic_and_truncate_clears(spark, tmp_table):
+    import os
+
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=2)
+    kw = dict(listen_fields=("text",), emit_change_rows=True)
+    sink.apply_batch(feed_df(spark, [ev("I", "c1", 0, 1, text="a")]), batch_id=0, **kw)
+    sink.apply_batch(feed_df(spark, [ev("U", "c1", 0, 2, text="b")]), batch_id=1, **kw)
+    assert sink.read_changes().count() == 1
+    # an UNREFERENCED change dir (crash before commit) must be invisible
+    orphan = os.path.join(tmp_table, "changes", "batch_id=99")
+    sink.read_changes().limit(1).write.mode("overwrite").parquet(orphan)
+    assert sink.read_changes().count() == 1  # still only the committed row
+    # truncate resets visible change history; GC removes the orphans
+    sink.truncate(batch_id=50)
+    assert sink.read_changes() is None
+    sink.expire_snapshots(keep_manifests=1)
+    assert not os.path.exists(orphan)
