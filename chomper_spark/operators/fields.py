@@ -152,33 +152,36 @@ def drop_path(path: str) -> Transform:
         top = str(keys[0])
         if len(keys) == 1:
             return df.drop(top)
-        if any(isinstance(k, int) for k in keys[1:]):
-            # dropping a struct field of ONE array element would give
-            # that element a different schema than its siblings —
-            # impossible (array elements share one type)
-            raise NotImplementedError(
-                "cannot drop a field under an array index (array elements "
-                "share one schema) — use nullify_path, or rename/drop on "
-                "the array itself via rename_keys"
-            )
         parent_keys, leaf = keys[1:-1], keys[-1]
         parent_type = _dtype_at(df.schema, [top, *parent_keys])
         if isinstance(parent_type, T.StructType):
-            # dropFields accepts the dotted struct path below the column
-            struct_path = ".".join(str(k) for k in keys[1:])
-            if all(isinstance(k, str) for k in keys[1:]):
-                return df.withColumn(top, F.col(top).dropFields(struct_path))
-            dropped = lambda c: c.dropFields(str(leaf))  # noqa: E731
-        elif isinstance(parent_type, T.MapType):
+            if any(isinstance(k, int) for k in keys[1:]):
+                # dropping a struct FIELD of one array element would give
+                # that element a different schema than its siblings —
+                # impossible (array elements share one type).  Removing a
+                # MAP key under an index is fine (schema unchanged) and
+                # handled below.
+                raise NotImplementedError(
+                    "cannot drop a struct field under an array index (array "
+                    "elements share one schema) — use nullify_path, or "
+                    "rename/drop on the array itself via rename_keys"
+                )
+            # all-string path: dropFields takes the dotted struct path
+            return df.withColumn(
+                top, F.col(top).dropFields(".".join(str(k) for k in keys[1:]))
+            )
+        if isinstance(parent_type, T.MapType):
             key = F.lit(leaf)
-            dropped = lambda c: F.map_filter(c, lambda mk, _v: mk != key)  # noqa: E731
-        else:
-            raise TypeError(f"cannot drop from {parent_type.simpleString()}")
-        if not parent_keys:
-            return df.withColumn(top, dropped(F.col(top)))
-        dtype = df.schema[top].dataType
-        cur = get_path([top, *parent_keys])
-        return df.withColumn(top, _set(F.col(top), dtype, parent_keys, dropped(cur)))
+            dropped = F.map_filter(
+                get_path([top, *parent_keys]) if parent_keys else F.col(top),
+                lambda mk, _v: mk != key,
+            )
+            if not parent_keys:
+                return df.withColumn(top, dropped)
+            return df.withColumn(
+                top, _set(F.col(top), df.schema[top].dataType, parent_keys, dropped)
+            )
+        raise TypeError(f"cannot drop from {parent_type.simpleString()}")
 
     return _t
 

@@ -300,13 +300,31 @@ class SnapshotMergeSink:
         exporters.py:304-333).  Only change dirs referenced by the
         CURRENT manifest are visible (commit-atomic with the table
         state; truncate clears them).  None if no committed changes."""
-        m = self.current_manifest()
-        rels = sorted((m or {}).get("changes", {}).values())
+        rels = sorted(self._changes_map(self.current_manifest()).values())
         if not rels:
             return None
         return self.spark.read.parquet(
             *[os.path.join(self.root, rel) for rel in rels]
         )
+
+    def _changes_map(self, manifest: dict | None) -> dict:
+        """Visible change dirs for a manifest.  Manifests written before
+        the 'changes' key existed reference nothing explicitly — treat
+        every on-disk change dir as live (legacy migration; the next
+        commit backfills the key), so committed audit history is never
+        silently dropped or GC'd."""
+        if manifest is None:
+            return {}
+        if "changes" in manifest:
+            return manifest["changes"]
+        cdir = os.path.join(self.root, "changes")
+        if not os.path.isdir(cdir):
+            return {}
+        return {
+            d.split("=", 1)[1]: f"changes/{d}"
+            for d in sorted(os.listdir(cdir))
+            if "=" in d
+        }
 
     # ------------------------------------------------------------- merging
 
@@ -662,7 +680,7 @@ class SnapshotMergeSink:
         # parquet write above happens pre-commit, so a crash before the
         # _CURRENT flip leaves an unreferenced (invisible) dir, never a
         # phantom change row for an uncommitted batch
-        changes_map = dict(manifest.get("changes", {})) if manifest else {}
+        changes_map = dict(self._changes_map(manifest))
         if changes_written:  # first-ever batch has no pre-image → no dir
             changes_map[str(batch_id)] = f"changes/batch_id={batch_id}"
         self._commit(
@@ -800,7 +818,7 @@ class SnapshotMergeSink:
                 "committed_batches": committed,
                 "buckets": buckets,
                 "deltas": deltas,
-                "changes": dict(manifest.get("changes", {})) if manifest else {},
+                "changes": dict(self._changes_map(manifest)),
                 "schema": json.dumps(state_schema.jsonValue()),
                 "key_cols": self.key_cols,
                 "n_buckets": self.n_buckets,
@@ -843,20 +861,23 @@ class SnapshotMergeSink:
             for chain in man.get("deltas", {}).values():
                 for rel in chain:
                     live_snapshots.add(rel.split("/")[1])
-            for rel in man.get("changes", {}).values():
+            for rel in self._changes_map(man).values():
                 live_changes.add(rel.split("/", 1)[1])  # changes/<dir>
             live_snapshots.add(f"s{man['snapshot_id']:08d}")
+        def _rm_sized(full: str) -> int:
+            freed = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(full)
+                for f in fs
+            )
+            _shutil.rmtree(full, ignore_errors=True)
+            return freed
+
         sdir = os.path.join(self.root, "snapshots")
         stats = {"snapshots_removed": 0, "manifests_removed": 0, "bytes_freed": 0}
         for d in os.listdir(sdir):
             if d not in live_snapshots:
-                full = os.path.join(sdir, d)
-                stats["bytes_freed"] += sum(
-                    os.path.getsize(os.path.join(r, f))
-                    for r, _, fs in os.walk(full)
-                    for f in fs
-                )
-                _shutil.rmtree(full, ignore_errors=True)
+                stats["bytes_freed"] += _rm_sized(os.path.join(sdir, d))
                 stats["snapshots_removed"] += 1
         for name in names:
             if name not in keep:
@@ -868,13 +889,7 @@ class SnapshotMergeSink:
         if os.path.isdir(cdir):
             for d in os.listdir(cdir):
                 if d not in live_changes:
-                    full = os.path.join(cdir, d)
-                    stats["bytes_freed"] += sum(
-                        os.path.getsize(os.path.join(r, f))
-                        for r, _, fs in os.walk(full)
-                        for f in fs
-                    )
-                    _shutil.rmtree(full, ignore_errors=True)
+                    stats["bytes_freed"] += _rm_sized(os.path.join(cdir, d))
         return stats
 
     def truncate(self, batch_id: int | None = None) -> None:

@@ -174,3 +174,12 @@ def test_drop_path_under_array_index_raises_clearly(spark):
     # defaulting EXISTING keys under an index is fine
     out = pipe(df, fp.nested_defaults("friends[0]", {"name": "anon"}))
     assert out.filter("id = 1").collect()[0]["friends"][0]["name"] == "f1"
+    # and removing a MAP key under an index is fine too — the element
+    # schema is unchanged, only that element's map contents shrink
+    df2 = spark.createDataFrame(
+        [(1, [("f1", {"a": "1", "b": "2"}), ("f2", {"a": "9"})])],
+        "id int, friends array<struct<name:string, props:map<string,string>>>",
+    )
+    out2 = pipe(df2, fp.drop_path("friends[0].props.a")).collect()[0]
+    assert out2["friends"][0]["props"] == {"b": "2"}
+    assert out2["friends"][1]["props"] == {"a": "9"}  # other elements untouched
