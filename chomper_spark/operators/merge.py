@@ -292,6 +292,48 @@ class SnapshotMergeSink:
             return None
         return st.filter(~F.col(S.META_DELETED)).drop(*S.META_COLS)
 
+    def read_keys(
+        self, keys: list[tuple], as_of_snapshot: int | None = None
+    ) -> DataFrame | None:
+        """Bucket-pruned point lookup (the serving-side analogue of the
+        write-side bucket pruning): read ONLY the bucket files the
+        requested keys hash to, then semi-join the key list.
+
+        A 1-key lookup scans 1 of ``n_buckets`` files instead of the
+        whole table (``read()`` always scans every bucket because
+        bucket = hash(full key) admits no predicate pruning).  ``keys``
+        are tuples in ``key_cols`` order; the list is driver-sized by
+        nature (point lookups), the bucket scan stays distributed.  The
+        bucket ids come from the SAME widen-stable hash expression the
+        writer uses, evaluated over the key list itself, so pruning and
+        data can never disagree.  None if the table was never created.
+        """
+        m = (
+            self.current_manifest()
+            if as_of_snapshot is None
+            else self.manifest_at(as_of_snapshot)
+        )
+        if m is None:
+            return None
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        user_schema = T.StructType(
+            [f_ for f_ in schema.fields if f_.name not in S.META_COLS]
+        )
+        if not keys:
+            return self.spark.createDataFrame([], schema=user_schema)
+        by_name = {f_.name: f_ for f_ in schema.fields}
+        key_schema = T.StructType([by_name[c] for c in self.key_cols])
+        keys_df = self.spark.createDataFrame(list(keys), schema=key_schema)
+        buckets = sorted(
+            r[0]
+            for r in keys_df.select(self._bucket_expr().alias("b")).distinct().collect()
+        )
+        st = self._read_buckets(m, buckets)
+        if st is None:
+            return self.spark.createDataFrame([], schema=user_schema)
+        live = st.filter(~F.col(S.META_DELETED)).drop(*S.META_COLS)
+        return live.join(F.broadcast(keys_df), on=self.key_cols, how="left_semi")
+
     def read_changes(self) -> DataFrame | None:
         """The per-field change-audit table written by
         ``apply_batch(emit_change_rows=True)``: one row per

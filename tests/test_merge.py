@@ -256,6 +256,25 @@ def test_time_travel_read_reconstructs_any_snapshot(spark, tmp_table):
     assert s2 == {("c1", "v2")}
 
 
+def test_read_keys_semantics(spark, tmp_table):
+    # point lookups must honor tombstones, MOR deltas, and time travel —
+    # same visibility rules as the full-scan read()
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=4, write_mode="mor")
+    sink.apply_batch(feed_df(spark, [ev("I", "c1", 0, 1, text="v1"),
+                                     ev("I", "c2", 0, 2)]), 0)
+    sink.apply_batch(feed_df(spark, [ev("U", "c1", 0, 3, text="v2"),
+                                     ev("D", "c2", 0, 4)]), 1)
+    got = {(r["conv_id"], r["text"]) for r in sink.read_keys([("c1", 0), ("c2", 0)]).collect()}
+    assert got == {("c1", "v2")}  # delta-reduced latest, tombstone hidden
+    old = {(r["conv_id"], r["text"])
+           for r in sink.read_keys([("c1", 0), ("c2", 0)], as_of_snapshot=0).collect()}
+    assert old == {("c1", "v1"), ("c2", "text c2/0 v2")}
+    assert sink.read_keys([("zz", 9)]).count() == 0  # absent key
+    assert sink.read_keys([]).count() == 0  # empty key list
+    fresh = SnapshotMergeSink(spark, tmp_table + "_none")
+    assert fresh.read_keys([("c1", 0)]) is None  # table never created
+
+
 def test_audit_timestamps_created_survives_updated_advances(spark, tmp_table):
     # E9 .timestamps() (chomper/contrib/sql/exporters.py:110-145,
     # tests/test_sql.py:116-128): created_at fixed at insert,

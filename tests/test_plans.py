@@ -37,6 +37,27 @@ def test_partition_pruned_state_read_lists_only_touched_buckets(spark, tmp_path)
     assert pruned.inputFiles() and len(pruned.inputFiles()) < len(full.inputFiles())
 
 
+def test_point_lookup_scans_only_hashed_buckets(spark, tmp_path):
+    # read_keys is the serving-side pruning twin of the write-side
+    # touched-bucket test above: a 1-key lookup must scan exactly the
+    # one bucket file that key hashes to, not the whole table.
+    from chomper_spark.operators.merge import SnapshotMergeSink
+    from tests.helpers import ev, feed_df
+
+    sink = SnapshotMergeSink(spark, str(tmp_path / "t"), n_buckets=8)
+    sink.apply_batch(feed_df(spark, [ev("I", f"c{i}", 0, i) for i in range(32)]), 0)
+    one = sink.read_keys([("c3", 0)])
+    files = one.inputFiles()
+    assert len(files) == 1 and "_bucket=" in files[0]
+    # and the lookup returns exactly that row
+    rows = one.collect()
+    assert len(rows) == 1 and rows[0]["conv_id"] == "c3"
+    # multi-key lookups prune to the union of hashed buckets, never more
+    many = sink.read_keys([("c3", 0), ("c7", 0), ("c11", 0)])
+    assert len(many.inputFiles()) <= 3
+    assert many.count() == 3
+
+
 def test_merge_source_dedup_has_mapside_partial_combine(spark):
     # max_by plans as SortAggregate (struct buffers aren't hash-aggregable)
     # but MUST keep the partial/map-side combine before the exchange —
