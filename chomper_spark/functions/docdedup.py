@@ -148,12 +148,20 @@ def ngram_jaccard_pairs(
     uses the FULL shingle sets — the cap only limits which pairs are
     considered, mirrored exactly in the DuckDB oracle."""
     sh = shingles(docs)
-    w = Window.partitionBy("shingle")
-    rare = (
-        sh.withColumn("_df", F.count(F.lit(1)).over(w))
+    # per-shingle document frequency via groupBy (NOT a window over
+    # partitionBy(shingle): that would shuffle every occurrence of a hot
+    # shingle into ONE task — reintroducing, as a single-task sort
+    # buffer, the exact stop-word hot spot the cap exists to kill).
+    # groupBy partial-aggregates map-side, so the hot key arrives at the
+    # reducer as a handful of partial counts; the semi join back onto sh
+    # streams (1 build row per shingle, AQE-splittable probe side).
+    rare_shingles = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") <= max_df)
-        .drop("_df")
+        .select("shingle")
     )
+    rare = sh.join(rare_shingles, "shingle", "left_semi")
     cand = (
         rare.alias("a")
         .join(rare.alias("b"), "shingle")
@@ -438,11 +446,13 @@ SELECT doc_id, ({sim})::BIGINT AS simhash FROM agg
 """
 
 
-def simhash_pairs(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
-    """SimHash near-dup pairs: candidates share one of 4 8-bit chunks
-    (lossless for hamming ≤ 3 by pigeonhole), verified via bit_count."""
+SIMHASH_CHUNK_CAP = 10_000  # max members per (chunk_idx, chunk_val) bucket
+
+
+def _simhash_chunks(docs: DataFrame) -> DataFrame:
+    """Melt each signature into (doc_id, simhash, chunk_idx, chunk_val)."""
     sig = simhash(docs)
-    chunks = sig.select(
+    return sig.select(
         "doc_id",
         "simhash",
         F.explode(
@@ -456,10 +466,42 @@ def simhash_pairs(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
                 ]
             )
         ).alias("cv"),
-    ).select("doc_id", "simhash", F.col("cv.chunk_idx").alias("chunk_idx"), F.col("cv.chunk_val").alias("chunk_val"))
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("cv.chunk_idx").alias("chunk_idx"),
+        F.col("cv.chunk_val").alias("chunk_val"),
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    hamming_max: int = HAMMING_MAX,
+    chunk_cap: int = SIMHASH_CHUNK_CAP,
+) -> DataFrame:
+    """SimHash near-dup pairs: candidates share one of 4 8-bit chunks
+    (lossless for hamming ≤ 3 by pigeonhole), verified via bit_count.
+
+    Each chunk has only 256 values, so an uncapped self-join on
+    (chunk_idx, chunk_val) holds ~n/256 docs per bucket — O(n²/256)
+    candidates, a cartesian product wearing a join key at 10^10 docs.
+    ``chunk_cap`` bounds every bucket to its lowest ``chunk_cap``
+    doc_ids (deterministic, mirrored exactly in the DuckDB oracle), the
+    same BUCKET_CAP pattern as the embedding LSH (similarity.py); what
+    the cap drops is observable via ``simhash_candidate_stats`` — no
+    silent truncation.  The capped melt carries only (doc_id, two small
+    ints): the window sort that enforces the cap buffers ~16 bytes/row,
+    so even a degenerate all-equal corpus stays task-sized."""
+    chunks = _simhash_chunks(docs)
+    w = Window.partitionBy("chunk_idx", "chunk_val").orderBy("doc_id")
+    capped = (
+        chunks.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= chunk_cap)
+        .drop("_rn")
+    )
     return (
-        chunks.alias("a")
-        .join(chunks.alias("b"), ["chunk_idx", "chunk_val"])
+        capped.alias("a")
+        .join(capped.alias("b"), ["chunk_idx", "chunk_val"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -471,17 +513,39 @@ def simhash_pairs(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
     )
 
 
-def simhash_pairs_sql(hamming_max: int = HAMMING_MAX) -> str:
+def simhash_candidate_stats(
+    docs: DataFrame, chunk_cap: int = SIMHASH_CHUNK_CAP
+) -> DataFrame:
+    """Per-(chunk_idx, chunk_val) occupancy + what the cap drops — the
+    "no silent caps" counter (members_dropped docs emit no candidates
+    from that chunk).  Same melt the candidate generation uses."""
+    return _simhash_chunks(docs).groupBy("chunk_idx", "chunk_val").agg(
+        F.count(F.lit(1)).alias("members"),
+        F.greatest(F.count(F.lit(1)) - F.lit(chunk_cap), F.lit(0)).alias(
+            "members_dropped"
+        ),
+    )
+
+
+def simhash_pairs_sql(
+    hamming_max: int = HAMMING_MAX, chunk_cap: int = SIMHASH_CHUNK_CAP
+) -> str:
     chunk_selects = " UNION ALL ".join(
         f"SELECT doc_id, simhash, {c} AS chunk_idx, (simhash >> {8 * c}) & 255 AS chunk_val FROM sig"
         for c in range(SIMHASH_CHUNKS)
     )
     return f"""
 WITH sig AS ({simhash_sql()}),
-chunks AS ({chunk_selects})
+chunks AS ({chunk_selects}),
+capped AS (
+  SELECT doc_id, simhash, chunk_idx, chunk_val FROM (
+    SELECT *, row_number() OVER (PARTITION BY chunk_idx, chunk_val ORDER BY doc_id) AS _rn
+    FROM chunks)
+  WHERE _rn <= {chunk_cap}
+)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash))::INT AS hamming
-FROM chunks a JOIN chunks b
+FROM capped a JOIN capped b
   ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {hamming_max}
 """

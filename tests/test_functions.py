@@ -164,6 +164,26 @@ def test_lsh_bucket_cap_bounds_candidates_on_skew(spark):
     assert out.count() == 10  # only capped members surface neighbors
 
 
+def test_simhash_chunk_cap_bounds_candidates_on_skew(spark):
+    # degenerate fixture: 30 identical docs — one signature, so every
+    # chunk bucket holds all 30.  Uncapped that is 4·C(30,2) candidate
+    # pairs; with chunk_cap=6 only the 6 lowest doc_ids per chunk emit,
+    # bounding distinct pairs at C(6,2) (same 6 docs in all 4 chunks).
+    docs = spark.createDataFrame(
+        [(i, "same exact text for everyone here") for i in range(30)]
+        + [(100, "completely different words entirely now")],
+        "doc_id long, text string",
+    )
+    pairs = dd.simhash_pairs(docs, chunk_cap=6)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert got == {(a, b) for a in range(6) for b in range(6) if a < b}
+    stats = dd.simhash_candidate_stats(docs, chunk_cap=6).collect()
+    hot = [r for r in stats if r["members"] == 30]
+    assert len(hot) == 4 and all(r["members_dropped"] == 24 for r in hot)
+    # uncapped default leaves small corpora untouched
+    assert dd.simhash_pairs(docs).count() == 30 * 29 // 2
+
+
 def test_dedup_clusters_connected_components(spark):
     # chain 1-2-3-4 plus pair 10-11 plus isolated pair member ordering:
     # clusters = min-id components; canonical = the min member
