@@ -1,0 +1,110 @@
+"""Typed feed-source adapters: the queue seam for StreamingApply.
+
+The reference's continuous mode tails a blocking Redis queue
+(chomper/contrib/redis.py:15-61 — QueueReader.blpop :39-61); its
+feeder/reader split means swapping the queue technology touches one
+class.  This module is that seam rebuilt Spark-native: a ``FeedSource``
+builds the streaming DataFrame, and everything downstream of
+``StreamingApply`` (watermark, foreachBatch, staging, MERGE, ledger,
+lineage) is source-agnostic.
+
+``FileFeedSource`` is the sandbox queue stand-in (a growing directory
+tailed by ``readStream``); ``KafkaFeedSource`` is the production queue
+shape — its option set and value-decode are real code under contract
+tests, only the final ``.load()`` needs the Kafka connector jar on the
+classpath (not present in this sandbox).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from chomper_spark import schema as S
+
+
+class FeedSource:
+    """Builds the (streaming) change-event DataFrame for StreamingApply.
+
+    Contract: ``load(spark)`` returns a DataFrame with the change-event
+    schema (op, op_ts, batch_seq, conv_id, turn_idx, ...) and an
+    event-time watermark on op_ts.  Correctness never depends on the
+    watermark — the MERGE is version-checked per key — it documents the
+    late-event contract for windowed consumers downstream.
+    """
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        raise NotImplementedError
+
+
+def _with_watermark(df: DataFrame, watermark: str) -> DataFrame:
+    # batch DataFrames (decode() under test, replay jobs) skip the
+    # watermark — it is a streaming-only concept
+    return df.withWatermark("op_ts", watermark) if df.isStreaming else df
+
+
+@dataclass
+class FileFeedSource(FeedSource):
+    """Tail a growing directory of parquet files — the sandbox queue.
+
+    ``maxFilesPerTrigger`` bounds micro-batch size (the analogue of a
+    queue consumer's poll batch)."""
+
+    feed_dir: str
+    feed_schema: T.StructType = field(default_factory=lambda: S.CHANGE_EVENT)
+    max_files_per_trigger: int = 1
+    watermark: str = "10 minutes"
+
+    def options(self) -> dict[str, str]:
+        return {"maxFilesPerTrigger": str(self.max_files_per_trigger)}
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        stream = (
+            spark.readStream.schema(self.feed_schema)
+            .options(**self.options())
+            .parquet(self.feed_dir)
+        )
+        return _with_watermark(stream, self.watermark)
+
+
+@dataclass
+class KafkaFeedSource(FeedSource):
+    """Tail a Kafka topic of JSON-encoded change events.
+
+    The exact reader option set is code (``options()``), and the
+    value→typed-columns projection (``decode()``) is testable on a
+    static DataFrame with Kafka's (value binary) shape — the ONLY
+    untestable-in-sandbox step is ``.format("kafka").load()`` itself,
+    which needs the spark-sql-kafka connector jar."""
+
+    brokers: str
+    topic: str
+    feed_schema: T.StructType = field(default_factory=lambda: S.CHANGE_EVENT)
+    starting_offsets: str = "earliest"
+    max_offsets_per_trigger: int = 10_000
+    watermark: str = "10 minutes"
+
+    def options(self) -> dict[str, str]:
+        return {
+            "kafka.bootstrap.servers": self.brokers,
+            "subscribe": self.topic,
+            "startingOffsets": self.starting_offsets,
+            # maxFilesPerTrigger analogue: bounds micro-batch size
+            "maxOffsetsPerTrigger": str(self.max_offsets_per_trigger),
+        }
+
+    def decode(self, raw: DataFrame) -> DataFrame:
+        """Kafka record → typed change event: value is a JSON-encoded
+        event (from_json with the feed schema; unparseable values
+        surface as all-NULL rows, the corrupt-record quarantine
+        policy of the batch feeders)."""
+        out = raw.select(
+            F.from_json(F.col("value").cast("string"), self.feed_schema).alias("e")
+        ).select("e.*")
+        return _with_watermark(out, self.watermark)
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        raw = spark.readStream.format("kafka").options(**self.options()).load()
+        return self.decode(raw)

@@ -3,21 +3,12 @@
 The reference's continuous mode is a poll-sleep(1) loop over a Redis
 queue (`close_when_idle = False`, chomper/importers.py:54-62;
 QueueReader blocking on blpop, chomper/contrib/redis.py:39-61).  The
-Spark-native rebuild is `readStream` over a growing feed directory —
-the sandbox stand-in for a queue-shaped source.  Swapping in Kafka
-changes ONLY the source expression; everything downstream (watermark,
-foreachBatch, staging, ledger, lineage) is identical:
-
-    stream = (spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", "earliest")
-        .option("maxOffsetsPerTrigger", str(n))  # maxFilesPerTrigger analogue
-        .load()
-        .select(F.from_json(F.col("value").cast("string"),
-                            feed_schema).alias("e"))
-        .select("e.*")
-        .withWatermark("op_ts", watermark))
+Spark-native rebuild is a typed ``FeedSource`` seam
+(streaming/sources.py): ``FileFeedSource`` tails a growing feed
+directory (the sandbox queue stand-in), ``KafkaFeedSource`` is the
+production queue shape — swapping sources is constructor injection,
+and everything downstream (watermark, foreachBatch, staging, ledger,
+lineage) is identical.
 
 Multi-file micro-batches (maxFilesPerTrigger > 1) and a producer
 appending to the directory while the query runs are exercised in
@@ -48,15 +39,20 @@ from chomper_spark import schema as S
 from chomper_spark.operators.lineage import LineageTable, batch_lineage
 from chomper_spark.operators.merge import SnapshotMergeSink
 from chomper_spark.operators.skew import stage_by_conv
+from chomper_spark.streaming.sources import FeedSource, FileFeedSource
 
 
 class StreamingApply:
-    """Tail a feed directory and apply every micro-batch to the sink."""
+    """Tail a feed source and apply every micro-batch to the sink.
+
+    ``feed_dir`` builds the default ``FileFeedSource``; pass ``source``
+    (any FeedSource, e.g. KafkaFeedSource) to tail a real queue —
+    constructor injection, nothing else changes."""
 
     def __init__(
         self,
         spark: SparkSession,
-        feed_dir: str,
+        feed_dir: str | None,
         state_root: str,
         checkpoint_dir: str,
         lineage_root: str | None = None,
@@ -67,13 +63,18 @@ class StreamingApply:
         stage_partitions: int | None = None,
         collect_metrics: bool = False,
         write_mode: str = "cow",
+        source: "FeedSource | None" = None,
     ):
+        if (feed_dir is None) == (source is None):
+            raise ValueError("pass exactly one of feed_dir or source")
         self.spark = spark
-        self.feed_dir = feed_dir
+        self.source = source or FileFeedSource(
+            feed_dir,
+            feed_schema=feed_schema,
+            max_files_per_trigger=max_files_per_trigger,
+            watermark=watermark,
+        )
         self.checkpoint_dir = checkpoint_dir
-        self.feed_schema = feed_schema
-        self.watermark = watermark
-        self.max_files_per_trigger = max_files_per_trigger
         self.stage_partitions = stage_partitions
         self.collect_metrics = collect_metrics
         self.sink = SnapshotMergeSink(
@@ -99,12 +100,7 @@ class StreamingApply:
             )
 
     def start(self, available_now: bool = True, processing_time: str | None = None):
-        stream = (
-            self.spark.readStream.schema(self.feed_schema)
-            .option("maxFilesPerTrigger", str(self.max_files_per_trigger))
-            .parquet(self.feed_dir)
-            .withWatermark("op_ts", self.watermark)
-        )
+        stream = self.source.load(self.spark)
         writer = stream.writeStream.foreachBatch(self._apply).option(
             "checkpointLocation", self.checkpoint_dir
         )

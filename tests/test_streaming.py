@@ -208,3 +208,57 @@ def test_stream_continuous_producer_multi_file_batches(spark, tmp_path):
         app.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts"),
         all_events,
     )
+
+
+def test_feed_source_seam_explicit_file_source(spark, tmp_path):
+    # the FeedSource seam: constructor-injected FileFeedSource behaves
+    # identically to the feed_dir shorthand (which builds one internally)
+    import pytest
+
+    from chomper_spark.streaming import FileFeedSource
+
+    feed_dir, state, ckpt, _ = _dirs(tmp_path)
+    _write_chunk(spark, [ev("I", "c1", 0, 1), ev("U", "c1", 0, 2)], feed_dir)
+    src = FileFeedSource(feed_dir, max_files_per_trigger=2)
+    app = StreamingApply(spark, None, state, ckpt, n_buckets=2, source=src)
+    app.run_available()
+    rows = app.read().collect()
+    assert len(rows) == 1 and rows[0]["text"] == "text c1/0 v2"
+    with pytest.raises(ValueError, match="exactly one"):
+        StreamingApply(spark, feed_dir, state, ckpt, source=src)
+    with pytest.raises(ValueError, match="exactly one"):
+        StreamingApply(spark, None, state, ckpt)
+
+
+def test_kafka_source_contract_options_and_decode(spark):
+    # the Kafka adapter's reader options are code under test (the exact
+    # set a production tail needs), and its value-decode projection runs
+    # on a static DataFrame with Kafka's wire shape — only .load()
+    # itself needs the connector jar.
+    import json
+
+    from chomper_spark.streaming import KafkaFeedSource
+
+    src = KafkaFeedSource("broker1:9092,broker2:9092", "transcript-changes",
+                          max_offsets_per_trigger=5000)
+    assert src.options() == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "transcript-changes",
+        "startingOffsets": "earliest",
+        "maxOffsetsPerTrigger": "5000",
+    }
+    e = ev("I", "c1", 3, 7, role="assistant", text="hello", tool="browser")
+    payload = dict(e, op_ts=e["op_ts"].isoformat(), ts=e["ts"].isoformat())
+    raw = spark.createDataFrame(
+        [(json.dumps(payload).encode(), b"k")], "value binary, key binary"
+    )
+    out = src.decode(raw).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["op"], r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"]) == (
+        "I", "c1", 3, "assistant", "hello", "browser"
+    )
+    assert r["op_ts"] == e["op_ts"]
+    # unparseable value → all-NULL quarantine row, never a crash
+    bad = spark.createDataFrame([(b"not json", b"k")], "value binary, key binary")
+    assert src.decode(bad).collect()[0]["conv_id"] is None
