@@ -82,3 +82,23 @@ class LineageTable:
 
     def read(self) -> DataFrame:
         return self.spark.read.option("basePath", self.root).parquet(self.root + "/*")
+
+    def expire(self, keep_batches: int) -> dict:
+        """Retention for continuous streams: a lineage row set lands
+        every micro-batch, so an unbounded run grows the table O(batches)
+        — drop all but the newest ``keep_batches`` batch directories
+        (ship older history to cold storage first if it must be kept).
+        Returns {batches_removed, batches_kept}."""
+        import shutil as _shutil
+
+        if keep_batches < 1:
+            raise ValueError("keep_batches must be >= 1")
+        ids = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.root)
+            if d.startswith("batch_id=") and d.split("=", 1)[1].lstrip("-").isdigit()
+        )
+        drop = ids[:-keep_batches] if len(ids) > keep_batches else []
+        for b in drop:
+            _shutil.rmtree(os.path.join(self.root, f"batch_id={b}"), ignore_errors=True)
+        return {"batches_removed": len(drop), "batches_kept": min(len(ids), keep_batches)}

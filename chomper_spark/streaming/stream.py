@@ -64,6 +64,7 @@ class StreamingApply:
         collect_metrics: bool = False,
         write_mode: str = "cow",
         source: "FeedSource | None" = None,
+        lineage_keep_batches: int | None = None,
     ):
         if (feed_dir is None) == (source is None):
             raise ValueError("pass exactly one of feed_dir or source")
@@ -81,6 +82,9 @@ class StreamingApply:
             spark, state_root, n_buckets=n_buckets, write_mode=write_mode
         )
         self.lineage = LineageTable(spark, lineage_root) if lineage_root else None
+        # bound the lineage table under continuous runs (one row set per
+        # micro-batch otherwise grows it forever); None = keep all
+        self.lineage_keep_batches = lineage_keep_batches
         self.batch_metrics: list = []  # driver-side log of MergeMetrics
 
     # ------------------------------------------------------------- plumbing
@@ -98,6 +102,8 @@ class StreamingApply:
                 batch_lineage(batch_df, batch_id, n_buckets=self.sink.n_buckets),
                 batch_id,
             )
+            if self.lineage_keep_batches is not None:
+                self.lineage.expire(self.lineage_keep_batches)
 
     def start(self, available_now: bool = True, processing_time: str | None = None):
         stream = self.source.load(self.spark)

@@ -80,3 +80,45 @@ def test_dedup_agg_equals_window_form(spark):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_lineage_retention_bounds_dir_count(spark, tmp_path):
+    import os
+
+    import pytest
+
+    root = str(tmp_path / "lin")
+    t = LineageTable(spark, root)
+    events = [ev("I", "c1", 0, 1)]
+    for b in range(8):
+        t.append(batch_lineage(feed_df(spark, events), batch_id=b, n_buckets=2), b)
+    stats = t.expire(keep_batches=3)
+    assert stats == {"batches_removed": 5, "batches_kept": 3}
+    dirs = sorted(d for d in os.listdir(root) if d.startswith("batch_id="))
+    assert dirs == ["batch_id=5", "batch_id=6", "batch_id=7"]
+    assert t.read().select("batch_id").distinct().count() == 3
+    # no-op when already within budget; bad budget rejected
+    assert t.expire(keep_batches=5)["batches_removed"] == 0
+    with pytest.raises(ValueError):
+        t.expire(keep_batches=0)
+
+
+def test_streaming_auto_lineage_retention(spark, tmp_path):
+    import os
+
+    from chomper_spark.streaming import StreamingApply
+
+    feed_dir = str(tmp_path / "feed")
+    for b in range(5):
+        feed_df(spark, [ev("I", f"c{b}", 0, b + 1)]).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed_dir)
+    lineage = str(tmp_path / "lin")
+    app = StreamingApply(
+        spark, feed_dir, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        lineage_root=lineage, max_files_per_trigger=1, n_buckets=2,
+        lineage_keep_batches=2,
+    )
+    app.run_available()
+    dirs = [d for d in os.listdir(lineage) if d.startswith("batch_id=")]
+    assert len(dirs) == 2  # 5 micro-batches appended, retention held at 2
