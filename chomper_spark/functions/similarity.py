@@ -309,9 +309,15 @@ IVF_PROBES = 2
 
 def _centroids(n: int, dim: int = DIM) -> list[list[float]]:
     """Deterministic pseudo-random coarse-quantizer centroids (same
-    md5-derived construction as the LSH hyperplanes, different salt).
-    A production deployment would train these with k-means and broadcast
-    them; the assignment/probe/verify plumbing is identical."""
+    md5-derived construction as the LSH hyperplanes, different salt) —
+    the default that keeps the DuckDB oracle reproducible.  A production
+    deployment trains centroids with k-means over a corpus sample and
+    passes them via ``ivf_topk(centroids=...)``; sizing rule: C ≈ √n
+    cells keeps both the probe fan-out (n_probes/C of the corpus) and
+    the per-cell list length (n/C) at ~√n — the standard IVF balance
+    point.  The assignment/probe/verify plumbing is identical either
+    way: centroids are inlined into the projection (broadcast-by-
+    literal), never shuffled."""
     out = []
     for c in range(n):
         row = []
@@ -322,8 +328,16 @@ def _centroids(n: int, dim: int = DIM) -> list[list[float]]:
     return out
 
 
-def _cell_dots_sql(elem: str, col: str, n_centroids: int, dim: int) -> list[str]:
-    cents = _centroids(n_centroids, dim)
+def _cell_dots_sql(
+    elem: str,
+    col: str,
+    n_centroids: int,
+    dim: int,
+    centroids: list[list[float]] | None = None,
+) -> list[str]:
+    cents = centroids if centroids is not None else _centroids(n_centroids, dim)
+    if len(cents) != n_centroids or any(len(c) != dim for c in cents):
+        raise ValueError(f"centroids must be {n_centroids} rows of dim {dim}")
     e = elem.format(col=col)
     return [
         " + ".join(f"{e.format(d=d)} * {cents[c][d - 1]!r}" for d in range(1, dim + 1))
@@ -349,6 +363,7 @@ def ivf_topk(
     n_queries: int = N_QUERIES,
     top_k: int = TOP_K,
     dim: int = DIM,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: every vector is assigned to its nearest
     coarse-quantizer centroid with ONE argmax projection (C·dim mults
@@ -360,8 +375,17 @@ def ivf_topk(
     joins the broadcast-sized probe side on the small int cell id —
     expected candidate volume per query is n_probes/C of the corpus,
     the standard recall/cost dial (FAISS IVF-Flat's layout, rebuilt
-    relationally)."""
-    dots = _cell_dots_sql(_SP, "embedding", n_centroids, dim)
+    relationally).
+
+    ``centroids`` — caller-trained coarse quantizer (k-means over a
+    corpus sample); defaults to the deterministic md5 construction the
+    DuckDB oracle mirrors.  Size C ≈ √n in production (see
+    ``_centroids``); pass L2-normalized centroids (spherical k-means)
+    so the argmax-dot assignment is the argmin-angle cell.  Centroids
+    are inlined as literals — fine into the thousands; for very large C
+    switch the assignment to an argmax over a broadcast array column
+    (same plan shape, no code-size blowup)."""
+    dots = _cell_dots_sql(_SP, "embedding", n_centroids, dim, centroids=centroids)
     case, mx = _cell_case_sql(dots)
     with_mx = emb.withColumn("_mx", F.expr(mx))
     assigned = with_mx.select(

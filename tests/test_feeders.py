@@ -81,3 +81,56 @@ def test_http_feeder_parses_jsonlines_via_file_url(spark, tmp_path):
     p.write_text('{"name": "Frank", "age": 29}\n{"name": "Stacy", "age": 26}\n')
     df = fd.http_feeder(spark, p.as_uri(), schema="name string, age long")
     assert sorted(r["name"] for r in df.collect()) == ["Frank", "Stacy"]
+
+
+def test_csv_feeder_header_reordered_to_file_order(spark, tmp_path):
+    # skip>0 + header=True maps values positionally, so a file whose
+    # header order differs from the declared schema must be reordered
+    # (not silently mis-assigned), and unknown names must raise
+    import pytest
+
+    p = tmp_path / "hdr.csv"
+    p.write_text("junk line\nage,name\n29,Frank\n26,Stacy\n")
+    df = fd.csv_feeder(
+        spark, str(p), schema=T.StructType([
+            T.StructField("name", T.StringType()),
+            T.StructField("age", T.StringType()),
+        ]), skip=1, header=True,
+    )
+    rows = {r["name"]: r["age"] for r in df.collect()}
+    assert rows == {"Frank": "29", "Stacy": "26"}
+    # columns list is reordered the same way
+    df2 = fd.csv_feeder(spark, str(p), columns=["name", "age"], skip=1, header=True)
+    assert {r["name"]: r["age"] for r in df2.collect()} == {"Frank": "29", "Stacy": "26"}
+    bad = tmp_path / "bad_hdr.csv"
+    bad.write_text("junk\nage,title\n29,Dr\n")
+    with pytest.raises(ValueError, match="does not match"):
+        fd.csv_feeder(spark, str(bad), columns=["name", "age"], skip=1, header=True)
+
+
+def test_jdbc_scan_option_passthrough():
+    # the partitioned live-DB scan options are code under test — no JDBC
+    # driver in the sandbox, so the builder is asserted directly
+    import pytest
+
+    opts = fd.jdbc_scan_options(
+        "jdbc:postgresql://db:5432/prod", "public.transcripts",
+        partition_column="conv_seq", lower_bound=0, upper_bound=10_000_000,
+        num_partitions=64, fetch_size=5000, user="etl",
+    )
+    assert opts == {
+        "url": "jdbc:postgresql://db:5432/prod",
+        "dbtable": "public.transcripts",
+        "fetchsize": "5000",
+        "partitionColumn": "conv_seq",
+        "lowerBound": "0",
+        "upperBound": "10000000",
+        "numPartitions": "64",
+        "user": "etl",
+    }
+    # unpartitioned scans stay minimal
+    assert fd.jdbc_scan_options("jdbc:h2:mem", "t") == {
+        "url": "jdbc:h2:mem", "dbtable": "t", "fetchsize": "10000",
+    }
+    with pytest.raises(ValueError, match="ALL of"):
+        fd.jdbc_scan_options("jdbc:h2:mem", "t", partition_column="id")

@@ -137,6 +137,27 @@ def test_ivf_topk_probes_nearest_cells(spark):
     assert final.count("Generate") == 1
 
 
+def test_ivf_topk_accepts_trained_centroids(spark):
+    # caller-supplied (k-means-trained) centroids replace the md5
+    # default without touching the assignment/probe/verify plumbing:
+    # with one centroid per axis, vectors assign to their dominant-axis
+    # cell and only same-cell neighbors surface at n_probes=1.
+    import pytest
+
+    axes = [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0], [0, 0, 0, 1.0]]
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.1, 0.0, 0.0]), (1, [0.9, 0.2, 0.0, 0.0]),
+         (2, [0.0, 0.0, 1.0, 0.1]), (3, [0.0, 0.0, 0.9, 0.2])],
+        "vec_id long, embedding array<float>",
+    )
+    out = sim.ivf_topk(emb, n_centroids=4, n_probes=1, n_queries=4, top_k=1,
+                       dim=4, centroids=axes)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in out.collect()}
+    assert top1 == {0: 1, 1: 0, 2: 3, 3: 2}  # same-cell pairs only
+    with pytest.raises(ValueError, match="centroids must be"):
+        sim.ivf_topk(emb, n_centroids=4, dim=4, centroids=axes[:2])
+
+
 def test_lsh_bucket_cap_bounds_candidates_on_skew(spark):
     # degenerate fixture: 60 identical vectors — every band puts all of
     # them in ONE bucket.  Uncapped that is 60×59 directed candidates;
