@@ -49,9 +49,10 @@ import json
 import os
 import re
 import tempfile
-import threading
+import uuid
 from dataclasses import dataclass, field
 
+from py4j.protocol import Py4JJavaError
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from chomper_spark import schema as S
@@ -60,23 +61,23 @@ from chomper_spark.operators.evolve import align_to_schema, evolve_schema
 
 _BUCKET = "_bucket"
 _MANIFEST_RE = re.compile(r"^m\d{8}\.json$")
-# Serializes the AQE-off window around the static MOR write: session
-# conf is shared, so without this a concurrently-planned query on the
-# same SparkSession could observe AQE disabled, and two concurrent MOR
-# writers could race the restore.  (Multi-writer sessions should still
-# prefer one sink per session.)
-_SESSION_CONF_LOCK = threading.Lock()
 
 
 def _obs_row(obs) -> dict:
     """Read an Observation's metrics, tolerating elimination: when a
     batch is a statically-empty relation, PropagateEmptyRelation
     rewrites the subtree and the CollectMetrics node never fires —
-    the true counts are then all zero."""
+    the true counts are then all zero, surfaced as a Py4J-wrapped
+    ``java.lang.AssertionError`` from Observation.get.  ONLY that error
+    is mapped to {}; anything else (listener failure, network, a future
+    API change) propagates — the counters are the Importer's contract,
+    so a silent 0 would misreport dropped rows as applied."""
     try:
         return dict(obs.get)
-    except Exception:  # noqa: BLE001 - JVM assertion when node eliminated
-        return {}
+    except Py4JJavaError as e:
+        if "java.lang.AssertionError" in str(e):
+            return {}
+        raise
 
 
 @dataclass
@@ -180,8 +181,20 @@ class SnapshotMergeSink:
             raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
         self.write_mode = write_mode
         self.mor_compact_threshold = mor_compact_threshold
+        self._mor_session: SparkSession | None = None
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+
+    def _mor_exec_session(self) -> SparkSession:
+        """Session clone for the static MOR write: shares the
+        SparkContext and cached data but holds a PRIVATE SQLConf with
+        AQE off, so the shared session's conf is never mutated and
+        concurrent COW queries keep adaptive skew handling."""
+        if self._mor_session is None:
+            s = self.spark.newSession()
+            s.conf.set("spark.sql.adaptive.enabled", "false")
+            self._mor_session = s
+        return self._mor_session
 
     # ---------------------------------------------------------- manifest io
 
@@ -349,12 +362,16 @@ class SnapshotMergeSink:
             *[os.path.join(self.root, rel) for rel in rels]
         )
 
-    def _changes_map(self, manifest: dict | None) -> dict:
+    def _changes_map(self, manifest: dict | None, for_gc: bool = False) -> dict:
         """Visible change dirs for a manifest.  Manifests written before
-        the 'changes' key existed reference nothing explicitly — treat
-        every on-disk change dir as live (legacy migration; the next
-        commit backfills the key), so committed audit history is never
-        silently dropped or GC'd."""
+        the 'changes' key existed reference nothing explicitly — fall
+        back to on-disk dirs (legacy migration; the next commit
+        backfills the key), but only admit dirs whose batch_id is in the
+        committed ledger: a crash between the pre-commit change-rows
+        write and the _CURRENT flip must not make that uncommitted
+        batch's rows visible (commit atomicity).  ``for_gc=True`` keeps
+        the unfiltered fallback so retention never deletes a legacy dir
+        it cannot prove dead."""
         if manifest is None:
             return {}
         if "changes" in manifest:
@@ -362,11 +379,15 @@ class SnapshotMergeSink:
         cdir = os.path.join(self.root, "changes")
         if not os.path.isdir(cdir):
             return {}
-        return {
+        all_dirs = {
             d.split("=", 1)[1]: f"changes/{d}"
             for d in sorted(os.listdir(cdir))
             if "=" in d
         }
+        if for_gc:
+            return all_dirs
+        committed = {str(b) for b in manifest.get("committed_batches", ())}
+        return {b: rel for b, rel in all_dirs.items() if b in committed}
 
     # ------------------------------------------------------------- merging
 
@@ -463,9 +484,6 @@ class SnapshotMergeSink:
             F.col(self.version_cols[0]).alias(S.META_OP_TS),
             F.col(self.version_cols[1]).cast("long").alias(S.META_BATCH_SEQ),
         ).withColumn(_BUCKET, self._bucket_expr())
-        if collect_metrics:
-            # events_in piggybacks on whatever action consumes the plan
-            projected = projected.observe(obs_in, F.count(F.lit(1)).alias("n"))
 
         evolved = bool(metrics.schema_added or metrics.schema_widened)
         special = bool(
@@ -486,6 +504,13 @@ class SnapshotMergeSink:
                 )
             # schema evolution falls through to the COW full rewrite below
             # (all buckets touched), which also folds existing delta chains
+
+        if collect_metrics:
+            # events_in piggybacks on whatever action consumes the plan
+            # (attached here, AFTER the MOR branch: the MOR path attaches
+            # its own observations to the clone-session-bound plan —
+            # Observation listeners are session-scoped)
+            projected = projected.observe(obs_in, F.count(F.lit(1)).alias("n"))
 
         # -- dedup latest-wins inside the batch: max_by aggregate (map-side
         # combine collapses dupes pre-shuffle; the window/row_number form
@@ -771,43 +796,54 @@ class SnapshotMergeSink:
         rel_delta = f"snapshots/s{snap_id:08d}/delta"
         out_path = os.path.join(self.root, rel_delta)
 
-        rest = [c for c in projected.columns if c not in (*self.key_cols, _BUCKET)]
-        dd = (
-            projected.repartition(self.n_buckets, _BUCKET)
-            .groupBy(_BUCKET, *self.key_cols)
-            .agg(
-                F.max_by(
-                    F.struct(*rest),
-                    F.struct(F.col(S.META_OP_TS), F.col(S.META_BATCH_SEQ)),
-                ).alias("_r")
+        # The MOR plan is static (explicit repartition + fused agg): AQE
+        # adds only driver re-planning latency here (~1s/batch measured,
+        # a core-count-independent term that caps scaling).  Session conf
+        # is SHARED state, so instead of mutating it (a concurrently-
+        # planned COW join could observe AQE off and lose skew handling),
+        # the write runs in a dedicated session clone whose private
+        # SQLConf has AQE disabled; a global temp view carries the
+        # analyzed batch plan across.  Observations are attached to the
+        # clone-bound plan — their listeners are session-scoped.
+        view = f"chomper_mor_{uuid.uuid4().hex}"
+        projected.createOrReplaceGlobalTempView(view)
+        try:
+            proj = self._mor_exec_session().table(f"global_temp.{view}")
+            if collect_metrics:
+                proj = proj.observe(obs_in, F.count(F.lit(1)).alias("n"))
+            rest = [c for c in proj.columns if c not in (*self.key_cols, _BUCKET)]
+            dd = (
+                proj.repartition(self.n_buckets, _BUCKET)
+                .groupBy(_BUCKET, *self.key_cols)
+                .agg(
+                    F.max_by(
+                        F.struct(*rest),
+                        F.struct(F.col(S.META_OP_TS), F.col(S.META_BATCH_SEQ)),
+                    ).alias("_r")
+                )
+                .select(
+                    _BUCKET, *self.key_cols, *[F.col(f"_r.{c}").alias(c) for c in rest]
+                )
             )
-            .select(_BUCKET, *self.key_cols, *[F.col(f"_r.{c}").alias(c) for c in rest])
-        )
-        delta_df = dd.select(
-            *payload_cols,
-            F.col(S.META_OP_TS),
-            F.col(S.META_BATCH_SEQ),
-            (F.col(S.OP_COL) == "D").alias(S.META_DELETED),
-            F.col(_BUCKET),
-        )
-        delta_df = align_to_schema(
-            delta_df,
-            T.StructType(state_schema.fields + [T.StructField(_BUCKET, T.IntegerType(), False)]),
-        )
-        if collect_metrics:
-            # both counts ride the single write job — zero extra jobs
-            delta_df = delta_df.observe(obs_merge, F.count(F.lit(1)).alias("n"))
-        # the MOR plan is static (explicit 64-way repartition + fused agg):
-        # AQE adds only driver re-planning latency here (~1s/batch measured,
-        # a core-count-independent term that caps scaling) — disable it for
-        # this write alone; COW joins keep AQE for skew handling.
-        with _SESSION_CONF_LOCK:
-            prev_aqe = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
-            self.spark.conf.set("spark.sql.adaptive.enabled", "false")
-            try:
-                delta_df.write.mode("overwrite").partitionBy(_BUCKET).parquet(out_path)
-            finally:
-                self.spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+            delta_df = dd.select(
+                *payload_cols,
+                F.col(S.META_OP_TS),
+                F.col(S.META_BATCH_SEQ),
+                (F.col(S.OP_COL) == "D").alias(S.META_DELETED),
+                F.col(_BUCKET),
+            )
+            delta_df = align_to_schema(
+                delta_df,
+                T.StructType(
+                    state_schema.fields + [T.StructField(_BUCKET, T.IntegerType(), False)]
+                ),
+            )
+            if collect_metrics:
+                # both counts ride the single write job — zero extra jobs
+                delta_df = delta_df.observe(obs_merge, F.count(F.lit(1)).alias("n"))
+            delta_df.write.mode("overwrite").partitionBy(_BUCKET).parquet(out_path)
+        finally:
+            self.spark.catalog.dropGlobalTempView(view)
         if collect_metrics:
             metrics.events_in = int(_obs_row(obs_in).get("n") or 0)
             metrics.merge_rows = int(_obs_row(obs_merge).get("n") or 0)
@@ -903,7 +939,7 @@ class SnapshotMergeSink:
             for chain in man.get("deltas", {}).values():
                 for rel in chain:
                     live_snapshots.add(rel.split("/")[1])
-            for rel in self._changes_map(man).values():
+            for rel in self._changes_map(man, for_gc=True).values():
                 live_changes.add(rel.split("/", 1)[1])  # changes/<dir>
             live_snapshots.add(f"s{man['snapshot_id']:08d}")
         def _rm_sized(full: str) -> int:

@@ -507,3 +507,35 @@ def test_changes_commit_atomic_and_truncate_clears(spark, tmp_table):
     assert sink.read_changes() is None
     sink.expire_snapshots(keep_manifests=1)
     assert not os.path.exists(orphan)
+
+
+def test_legacy_manifest_change_dirs_gated_by_ledger(spark, tmp_table):
+    # manifests written before the 'changes' key existed fall back to
+    # on-disk dirs — but an uncommitted batch's dir (crash between the
+    # change-rows write and the _CURRENT flip) must stay invisible,
+    # while GC retention still treats it conservatively as live
+    import json
+    import os
+
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=2)
+    kw = dict(listen_fields=("text",), emit_change_rows=True)
+    sink.apply_batch(feed_df(spark, [ev("I", "c1", 0, 1, text="a")]), batch_id=0, **kw)
+    sink.apply_batch(feed_df(spark, [ev("U", "c1", 0, 2, text="b")]), batch_id=1, **kw)
+    # simulate a legacy table: strip the 'changes' key from the manifest
+    with open(os.path.join(tmp_table, "_CURRENT")) as fh:
+        name = fh.read().strip()
+    mpath = os.path.join(tmp_table, "manifests", name)
+    with open(mpath) as fh:
+        man = json.load(fh)
+    del man["changes"]
+    with open(mpath, "w") as fh:
+        json.dump(man, fh)
+    assert sink.read_changes().count() == 1  # committed batch 1 visible
+    # plant an uncommitted legacy dir (batch 99 not in the ledger)
+    orphan = os.path.join(tmp_table, "changes", "batch_id=99")
+    sink.read_changes().limit(1).write.mode("overwrite").parquet(orphan)
+    assert sink.read_changes().count() == 1  # still hidden
+    assert "99" not in sink._changes_map(sink.current_manifest())
+    assert "99" in sink._changes_map(sink.current_manifest(), for_gc=True)
+    sink.expire_snapshots(keep_manifests=3)
+    assert os.path.exists(orphan)  # GC is conservative on legacy tables

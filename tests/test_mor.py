@@ -113,3 +113,22 @@ def test_streaming_apply_in_mor_mode(spark, tmp_path):
         app.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts"),
         c1 + c2,
     )
+
+
+def test_mor_write_never_mutates_shared_session_conf(spark, tmp_path):
+    # the AQE-off window is scoped to a private session clone: the
+    # shared session's conf must read 'true' before, during (checked via
+    # the clone being a different session), and after the write — and
+    # the observe()-riding metrics must still flow from the clone.
+    sink = SnapshotMergeSink(spark, str(tmp_path / "t"), n_buckets=4, write_mode="mor")
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    m = sink.apply_batch(
+        feed_df(spark, [ev("I", "c1", 0, 1), ev("U", "c1", 0, 2), ev("I", "c2", 0, 3)]),
+        batch_id=0, collect_metrics=True,
+    )
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert sink._mor_session is not spark
+    assert sink._mor_session.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert (m.events_in, m.merge_rows, m.dedup_drops) == (3, 2, 1)
+    # no temp-view debris left behind
+    assert spark.sql("SHOW VIEWS IN global_temp").filter("viewName LIKE 'chomper_mor%'").count() == 0
