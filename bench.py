@@ -141,10 +141,18 @@ def main() -> None:
             tempfile.tempdir = prev_tmp
             shutil.rmtree(qtmp, ignore_errors=True)
 
-    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
+    # keep the printed JSON line SMALL (round-2's line outgrew the
+    # driver's tail-capture window and was recorded truncated/unparsed):
+    # big blobs (scaling detail, regression diffs, error texts) go to
+    # BENCH/ files referenced by path; only scalars ride the line.
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    scaling_path = os.path.join(bench_dir, "scaling.json")
     if os.path.exists(scaling_path):
         with open(scaling_path) as fh:
-            extras["scaling"] = json.load(fh)
+            sc = json.load(fh)
+        extras["scaling_efficiency"] = sc.get("efficiency")
+        extras["scaling_file"] = "BENCH/scaling.json"
 
     # regression tracking: diff per-query times against the newest
     # BENCH_r*.json so the next round's judge sees movement per query
@@ -160,33 +168,43 @@ def main() -> None:
             with open(prior[-1]) as fh:
                 doc = json.load(fh)
             # the driver wraps our JSON line under "parsed"
-            prev = (doc.get("queries") or doc.get("parsed", {}).get("queries")) or {}
+            prev = (doc.get("queries") or (doc.get("parsed") or {}).get("queries")) or {}
             regressions = {
                 name: {"prev": prev[name], "now": sec,
                        "ratio": round(sec / prev[name], 2)}
                 for name, sec in queries.items()
                 if name in prev and prev[name] > 0.5 and sec > prev[name] * 1.5
             }
-            extras["prev_bench"] = os.path.basename(prior[-1])
-            extras["regressions"] = regressions
+            with open(os.path.join(bench_dir, "regressions_latest.json"), "w") as fh:
+                json.dump({"vs": os.path.basename(prior[-1]),
+                           "regressions": regressions}, fh, indent=1)
+            extras["n_regressions"] = len(regressions)
+            extras["regressions_file"] = "BENCH/regressions_latest.json"
         except (json.JSONDecodeError, KeyError, ZeroDivisionError):
             pass
+    if "errors" in extras:
+        with open(os.path.join(bench_dir, "errors_latest.json"), "w") as fh:
+            json.dump(extras.pop("errors"), fh, indent=1)
+        extras["errors_file"] = "BENCH/errors_latest.json"
 
-    total = round(sum(v for v in queries.values() if v > 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "cdc_replay_and_headline_queries_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "sf": _sf_from_dir(SF_DIR),
-                "cpus": CPUS,
-                **extras,
-            }
-        )
+    total = round(sum(v for v in queries.values() if v > 0), 2)
+    line = json.dumps(
+        {
+            "metric": "cdc_replay_and_headline_queries_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in queries.items()},
+            "sf": _sf_from_dir(SF_DIR),
+            "cpus": CPUS,
+            **extras,
+        },
+        separators=(",", ":"),
     )
     spark.stop()
+    # the JSON line prints LAST and ALONE, after Spark shutdown, so no
+    # trailing output can push it out of the driver's capture window
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
