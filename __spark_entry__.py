@@ -140,25 +140,46 @@ def _q_tx_assign_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_tx_drop_nullify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P3 row Dropper + P4 field Dropper (NULL-out)
-    (chomper/processors.py:208-233) in one pipeline."""
+def _q_tx_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 row Dropper + P4 field Dropper (NULL-out) + P7 key-mode
+    Mapper (rename) + P9 Omitter + P8 Picker in one pipeline
+    (chomper/processors.py:208-233, :302-316, :236-263) — consolidated
+    so every registered query fits the driver's 50-query window."""
     feed = change_feed_from_events(spark, sf_dir)
     return tx.pipe(
         feed,
         tx.drop_rows(F.col("op").isin("D") | (F.col("turn_idx") < 2)),
         tx.nullify_field("tool", F.col("role") == "system"),
-        tx.pick(["batch_seq", "op", "conv_id", "turn_idx", "role", "tool"]),
+        tx.rename({"conv_id": "conversation_id"}),
+        tx.omit(["op_ts", "ts"]),
+        tx.pick(
+            ["conversation_id", "turn_idx", "batch_seq", "op", "role", "text", "tool"]
+        ),
     )
 
 
-def _q_tx_rename_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feed = change_feed_from_events(spark, sf_dir)
-    return tx.pipe(
-        feed,
-        tx.rename({"conv_id": "conversation_id"}),
-        tx.omit(["op", "op_ts", "ts", "tool"]),
-        tx.pick(["conversation_id", "turn_idx", "batch_seq", "role", "text"]),
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X40 incremental corpus dedup through the real engine: ingest the
+    even-doc_id half into a hash-index table (SnapshotMergeSink keyed on
+    text_hash, update_only_nulls so canonical identity never migrates),
+    then classify the odd-doc_id half against it — O(new batch), never
+    O(corpus), the only dedup shape that holds on a continuously-
+    ingesting 100 TB store."""
+    docs = _docs(spark, sf_dir)
+    sink = SnapshotMergeSink(
+        spark,
+        tempfile.mkdtemp(prefix="chomper_spark_hidx_"),
+        n_buckets=8,
+        key_cols=["text_hash"],
+    )
+    sink.apply_batch(
+        dd.hash_index_events(docs.filter(F.col("doc_id") % 2 == 0), batch_seq=0),
+        batch_id=0,
+        update_only_nulls=True,
+        collect_metrics=False,
+    )
+    return dd.incremental_exact_dedup(
+        sink.read(), docs.filter(F.col("doc_id") % 2 == 1)
     )
 
 
@@ -634,8 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_importer_run": _q_importer_pipeline,
         "tx_defaults_surrogate": _q_tx_defaults_surrogate,
         "tx_assign_map": _q_tx_assign_map,
-        "tx_drop_nullify": _q_tx_drop_nullify,
-        "tx_rename_pick_omit": _q_tx_rename_pick,
+        "tx_reshape": _q_tx_reshape,
         "tx_lookup_join": _q_lookup_join,
         "tx_nested_defaults": _q_tx_nested_defaults,
         "tx_nested_rename_pathset": _q_tx_nested_rename_pathset,
@@ -654,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "dedup_simhash": lambda s, d: dd.simhash(_docs(s, d)),
         "dedup_simhash_pairs": lambda s, d: dd.simhash_pairs(_docs(s, d)),
+        "dedup_incremental": _q_dedup_incremental,
         "ann_bruteforce_topk": lambda s, d: sim.ann_bruteforce_topk(_emb(s, d)),
         "ann_lsh_bucketed": lambda s, d: sim.lsh_bucketed_ann(_emb(s, d)),
         "ann_ivf_topk": lambda s, d: sim.ivf_topk(_emb(s, d)),
@@ -721,16 +742,13 @@ def oracle_sql() -> dict[str, str]:
             "length(text) AS text_len, "
             "CASE WHEN tool = 'browser' THEN 'web' ELSE tool END AS tool FROM feed"
         ),
-        "tx_drop_nullify": (
+        "tx_reshape": (
             f"WITH {_FEED_CTE} "
-            "SELECT batch_seq, op, conv_id, turn_idx, role, "
+            "SELECT conv_id AS conversation_id, turn_idx, batch_seq, op, role, text, "
             "CASE WHEN role = 'system' THEN NULL ELSE tool END AS tool FROM feed "
             "WHERE NOT (op IN ('D') OR turn_idx < 2)"
         ),
-        "tx_rename_pick_omit": (
-            f"WITH {_FEED_CTE} "
-            "SELECT conv_id AS conversation_id, turn_idx, batch_seq, role, text FROM feed"
-        ),
+        "dedup_incremental": dd.incremental_exact_dedup_sql(),
         "tx_lookup_join": (
             "SELECT o_orderkey, o_totalprice, c_name, c_mktsegment "
             "FROM orders LEFT JOIN customer ON o_custkey = c_custkey "

@@ -293,6 +293,88 @@ FROM common c JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id
 """
 
 
+# --------------------------------------------------- incremental exact dedup
+
+
+def incremental_exact_dedup(known: DataFrame, new_docs: DataFrame) -> DataFrame:
+    """Classify a NEW batch of documents against an existing corpus
+    hash index — the shape a continuously-ingesting pipeline actually
+    runs: re-hashing the whole corpus per arriving batch is O(corpus),
+    this is O(batch) + one equi-join on the 128-bit hash (text never
+    shuffles).  The index is a plain (text_hash, canonical_doc_id)
+    relation — maintain it with ``hash_index_events`` through a
+    SnapshotMergeSink keyed on text_hash, so index maintenance gets the
+    engine's exactly-once ledger/replay semantics for free.
+
+    Returns one row per new doc: (doc_id, text_hash, canonical_doc_id,
+    is_duplicate).  canonical = the existing corpus doc when the hash
+    is known, else the min doc_id within the new batch; is_duplicate is
+    true for corpus hits AND intra-batch non-canonical repeats.
+    """
+    hashed = new_docs.select("doc_id", F.md5("text").alias("text_hash"))
+    batch_canon = hashed.groupBy("text_hash").agg(
+        F.min("doc_id").alias("_batch_canon")
+    )
+    idx = known.select(
+        "text_hash", F.col("canonical_doc_id").alias("_known_canon")
+    )
+    return (
+        hashed.join(batch_canon, "text_hash")
+        .join(idx, "text_hash", "left")
+        .select(
+            "doc_id",
+            "text_hash",
+            F.coalesce("_known_canon", "_batch_canon").alias("canonical_doc_id"),
+            (
+                F.col("_known_canon").isNotNull()
+                | (F.col("doc_id") != F.col("_batch_canon"))
+            ).alias("is_duplicate"),
+        )
+    )
+
+
+def hash_index_events(new_docs: DataFrame, batch_seq: int) -> DataFrame:
+    """One upsert event per distinct hash in the batch, shaped for a
+    SnapshotMergeSink keyed on text_hash.  Apply with
+    ``apply_batch(update_only_nulls=True)``: a hash already in the
+    index keeps its original canonical_doc_id (first writer wins —
+    canonical identity must never migrate to a later duplicate), new
+    hashes insert."""
+    return (
+        new_docs.select("doc_id", F.md5("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("canonical_doc_id"))
+        .select(
+            F.lit("I").alias("op"),
+            F.to_timestamp(F.lit("2026-01-01")).alias("op_ts"),
+            F.lit(batch_seq).cast("long").alias("batch_seq"),
+            "text_hash",
+            "canonical_doc_id",
+        )
+    )
+
+
+def incremental_exact_dedup_sql() -> str:
+    """DuckDB twin for the driver query: index = even doc_ids (the
+    already-ingested corpus), new batch = odd doc_ids."""
+    return """
+WITH known AS (
+  SELECT md5(text) AS text_hash, min(doc_id) AS known_canon
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+),
+new_batch AS (
+  SELECT doc_id, md5(text) AS text_hash FROM documents WHERE doc_id % 2 = 1
+),
+bc AS (SELECT text_hash, min(doc_id) AS batch_canon FROM new_batch GROUP BY 1)
+SELECT n.doc_id, n.text_hash,
+       coalesce(k.known_canon, b.batch_canon) AS canonical_doc_id,
+       (k.known_canon IS NOT NULL OR n.doc_id <> b.batch_canon) AS is_duplicate
+FROM new_batch n
+JOIN bc b ON n.text_hash = b.text_hash
+LEFT JOIN known k ON n.text_hash = k.text_hash
+"""
+
+
 # ------------------------------------------------------- duplicate clusters
 
 

@@ -205,6 +205,45 @@ def test_simhash_chunk_cap_bounds_candidates_on_skew(spark):
     assert dd.simhash_pairs(docs).count() == 30 * 29 // 2
 
 
+def test_incremental_exact_dedup_against_engine_index(spark, tmp_path):
+    # the hash index lives in the MERGE engine (keyed on text_hash,
+    # update_only_nulls): canonical identity must never migrate to a
+    # later duplicate, replays are ledger-skipped, and classification
+    # of a new batch is O(batch) + one hash join
+    from chomper_spark.operators.merge import SnapshotMergeSink
+
+    corpus0 = spark.createDataFrame(
+        [(10, "alpha text"), (11, "beta text"), (12, "alpha text")],
+        "doc_id long, text string",
+    )
+    corpus1 = spark.createDataFrame(
+        [(20, "alpha text"), (21, "gamma text")], "doc_id long, text string"
+    )
+    sink = SnapshotMergeSink(spark, str(tmp_path / "idx"), n_buckets=4,
+                             key_cols=["text_hash"])
+    sink.apply_batch(dd.hash_index_events(corpus0, 0), 0,
+                     update_only_nulls=True, collect_metrics=False)
+    sink.apply_batch(dd.hash_index_events(corpus1, 1), 1,
+                     update_only_nulls=True, collect_metrics=False)
+    idx = {r["canonical_doc_id"] for r in sink.read().collect()}
+    assert idx == {10, 11, 21}  # alpha stays canonical=10 despite doc 20
+    # replaying batch 1 is a no-op (exactly-once ledger)
+    m = sink.apply_batch(dd.hash_index_events(corpus1, 1), 1,
+                         update_only_nulls=True, collect_metrics=False)
+    assert m.skipped
+    new_batch = spark.createDataFrame(
+        [(30, "alpha text"), (31, "delta text"), (32, "delta text")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["canonical_doc_id"], r["is_duplicate"])
+           for r in dd.incremental_exact_dedup(sink.read(), new_batch).collect()}
+    assert out == {
+        30: (10, True),    # known corpus hash -> corpus canonical
+        31: (31, False),   # new hash, batch canonical
+        32: (31, True),    # intra-batch repeat
+    }
+
+
 def test_dedup_clusters_connected_components(spark):
     # chain 1-2-3-4 plus pair 10-11 plus isolated pair member ordering:
     # clusters = min-id components; canonical = the min member
