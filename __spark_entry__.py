@@ -178,9 +178,11 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         update_only_nulls=True,
         collect_metrics=False,
     )
-    return dd.incremental_exact_dedup(
-        sink.read(), docs.filter(F.col("doc_id") % 2 == 1)
-    )
+    new_docs = docs.filter(F.col("doc_id") % 2 == 1)
+    # bucket-pruned index read: scan only the index buckets the batch's
+    # hashes land in (driver collect bounded by n_buckets, not batch size)
+    known = sink.read_prune_for(new_docs.select(F.md5("text").alias("text_hash")))
+    return dd.incremental_exact_dedup(known, new_docs)
 
 
 def _q_tx_nested_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:

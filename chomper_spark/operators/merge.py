@@ -334,6 +334,41 @@ class SnapshotMergeSink:
         live = st.filter(~F.col(S.META_DELETED)).drop(*S.META_COLS)
         return live.join(F.broadcast(keys_df), on=self.key_cols, how="left_semi")
 
+    def read_prune_for(
+        self, keys_df: DataFrame, as_of_snapshot: int | None = None
+    ) -> DataFrame | None:
+        """Live rows from ONLY the buckets that any key in ``keys_df``
+        hashes to — set-oriented pruning for batch-vs-table joins
+        (e.g. an arriving micro-batch probing the corpus hash index).
+
+        Unlike ``read_keys`` the key set stays distributed: the only
+        driver-side collect is the DISTINCT bucket-id list, bounded by
+        ``n_buckets`` ints regardless of batch size.  The caller joins
+        the returned frame itself; rows from shared buckets that match
+        no key are simply dropped by that join.  Pruning pays off when
+        the batch's keys cluster into few buckets or n_buckets is large
+        relative to the batch; a batch touching every bucket degrades
+        gracefully to the full scan ``read()`` would do anyway."""
+        m = (
+            self.current_manifest()
+            if as_of_snapshot is None
+            else self.manifest_at(as_of_snapshot)
+        )
+        if m is None:
+            return None
+        buckets = sorted(
+            r[0]
+            for r in keys_df.select(self._bucket_expr().alias("b")).distinct().collect()
+        )
+        st = self._read_buckets(m, buckets)
+        if st is None:
+            schema = T.StructType.fromJson(json.loads(m["schema"]))
+            user = T.StructType(
+                [f_ for f_ in schema.fields if f_.name not in S.META_COLS]
+            )
+            return self.spark.createDataFrame([], schema=user)
+        return st.filter(~F.col(S.META_DELETED)).drop(*S.META_COLS)
+
     def read_changes(self) -> DataFrame | None:
         """The per-field change-audit table written by
         ``apply_batch(emit_change_rows=True)``: one row per

@@ -58,6 +58,24 @@ def test_point_lookup_scans_only_hashed_buckets(spark, tmp_path):
     assert many.count() == 3
 
 
+def test_read_prune_for_scans_only_probed_buckets(spark, tmp_path):
+    # set-oriented pruning: a probe batch whose keys land in one bucket
+    # must scan one bucket file, while the key set itself stays
+    # distributed (only the bucket-id list is collected, <= n_buckets)
+    from chomper_spark.operators.merge import SnapshotMergeSink
+    from tests.helpers import ev, feed_df
+
+    sink = SnapshotMergeSink(spark, str(tmp_path / "t"), n_buckets=8)
+    sink.apply_batch(feed_df(spark, [ev("I", f"c{i}", 0, i) for i in range(32)]), 0)
+    probe = spark.createDataFrame([("c3", 0)], "conv_id string, turn_idx int")
+    pruned = sink.read_prune_for(probe)
+    assert len(pruned.inputFiles()) == 1
+    # the pruned frame contains every live row of that bucket (caller joins)
+    assert {r["conv_id"] for r in pruned.collect()} >= {"c3"}
+    full = sink.read()
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+
+
 def test_merge_source_dedup_has_mapside_partial_combine(spark):
     # max_by plans as SortAggregate (struct buffers aren't hash-aggregable)
     # but MUST keep the partial/map-side combine before the exchange —
