@@ -229,26 +229,49 @@ class SnapshotMergeSink:
         ).cast("int")
 
     def _read_buckets(self, manifest: dict, buckets: list[int]) -> DataFrame | None:
-        """Read state rows for the given buckets in ONE parquet scan.
+        """Read state rows for the given buckets in ONE parquet scan
+        (plus one more when shared small-batch deltas exist).
 
         A single multi-path relation (not a union of per-bucket reads —
         N separate relations make planning and listing O(N) per batch).
         The manifest schema is enforced at the scan; every live file
         matches it exactly because schema evolution forces a full
-        rewrite of all buckets in the same commit (see apply_batch)."""
+        rewrite of all buckets in the same commit (see apply_batch).
+
+        Shared deltas (``delta_layout="single"``, one file holding many
+        buckets' rows with the bucket id as a DATA column) are read
+        separately, filtered to the requested buckets, and unioned —
+        without the filter a partial-bucket read would surface foreign
+        rows and a COW rewrite would relocate them."""
         schema = T.StructType.fromJson(json.loads(manifest["schema"]))
         deltas = manifest.get("deltas", {})
-        paths, has_delta = [], False
+        paths, shared, has_delta = [], set(), False
         for k in buckets:
             rel = manifest["buckets"].get(str(k))
             if rel is not None:
                 paths.append(os.path.join(self.root, rel))
             for d in deltas.get(str(k), ()):
-                paths.append(os.path.join(self.root, d))
+                if d.endswith("/delta_shared"):
+                    shared.add(d)  # set: one path may serve many buckets
+                else:
+                    paths.append(os.path.join(self.root, d))
                 has_delta = True
-        if not paths:
+        parts = []
+        if paths:
+            parts.append(self.spark.read.schema(schema).parquet(*paths))
+        if shared:
+            shared_schema = T.StructType(
+                schema.fields + [T.StructField(_BUCKET, T.IntegerType(), True)]
+            )
+            sdf = self.spark.read.schema(shared_schema).parquet(
+                *[os.path.join(self.root, d) for d in sorted(shared)]
+            )
+            parts.append(
+                sdf.filter(F.col(_BUCKET).isin([int(b) for b in buckets])).drop(_BUCKET)
+            )
+        if not parts:
             return None
-        df = self.spark.read.schema(schema).parquet(*paths)
+        df = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
         if has_delta:
             # merge-on-read reduce: base rows and delta rows carry the
             # applied version; latest (op_ts, batch_seq) per key wins
@@ -424,6 +447,7 @@ class SnapshotMergeSink:
         collect_metrics: bool = True,
         batch_time=None,
         emit_change_rows: bool = False,
+        delta_layout: str = "bucketed",
     ) -> MergeMetrics:
         """Apply one micro-batch of change events. Idempotent.
 
@@ -438,6 +462,15 @@ class SnapshotMergeSink:
         (key, field, old, new, batch_id) for ``listen_fields`` to the
         table's ``changes/`` area (idempotent per batch); read them
         back with ``read_changes()``.
+        ``delta_layout`` (MOR only) — "bucketed" (default) appends one
+        delta file per touched bucket: right for big batches, but a
+        SMALL batch still pays O(n_buckets) files/tasks, so a
+        high-frequency streaming trigger on a 4096-bucket table would
+        write 4096 tiny files per trigger (measured ~78 ms/file —
+        file-count explosion).  "single" writes the whole batch as ONE
+        delta file carrying the bucket id as a data column, referenced
+        by every touched bucket's chain and bucket-filtered at read;
+        inline compaction folds it into bucketed bases as chains grow.
 
         Metrics ride the merge jobs via ``df.observe`` — with
         ``collect_metrics=True`` no extra Spark jobs run (MOR adds
@@ -453,6 +486,10 @@ class SnapshotMergeSink:
             raise ValueError("audit_timestamps sinks need batch_time=<datetime>")
         if emit_change_rows and not listen_fields:
             raise ValueError("emit_change_rows needs listen_fields")
+        if delta_layout not in ("bucketed", "single"):
+            raise ValueError(f"delta_layout must be 'bucketed' or 'single', got {delta_layout!r}")
+        if delta_layout == "single" and self.write_mode != "mor":
+            raise ValueError("delta_layout='single' applies to write_mode='mor' only")
 
         # on an AUDIT sink the audit column names are engine-reserved
         # (never payload); a plain sink must NOT strip user columns that
@@ -523,6 +560,7 @@ class SnapshotMergeSink:
                 return self._apply_mor(
                     projected, manifest, batch_id, state_schema, payload_cols,
                     metrics, collect_metrics, obs_in, obs_merge,
+                    delta_layout=delta_layout,
                 )
             # schema evolution falls through to the COW full rewrite below
             # (all buckets touched), which also folds existing delta chains
@@ -797,6 +835,7 @@ class SnapshotMergeSink:
         collect_metrics: bool,
         obs_in=None,
         obs_merge=None,
+        delta_layout: str = "bucketed",
     ) -> MergeMetrics:
         """Merge-on-read apply: append one delta file per touched bucket
         (O(batch) write, no target read), then fold any delta chain that
@@ -815,7 +854,8 @@ class SnapshotMergeSink:
         (see _read_buckets) makes base∪deltas equivalent to the COW
         table at every point — same oracle, same exactly-once ledger."""
         snap_id = (manifest["snapshot_id"] + 1) if manifest else 0
-        rel_delta = f"snapshots/s{snap_id:08d}/delta"
+        single = delta_layout == "single"
+        rel_delta = f"snapshots/s{snap_id:08d}/" + ("delta_shared" if single else "delta")
         out_path = os.path.join(self.root, rel_delta)
 
         # The write runs with AQE ON in the caller's session, unmodified:
@@ -834,7 +874,7 @@ class SnapshotMergeSink:
             proj = proj.observe(obs_in, F.count(F.lit(1)).alias("n"))
         rest = [c for c in proj.columns if c not in (*self.key_cols, _BUCKET)]
         dd = (
-            proj.repartition(self.n_buckets, _BUCKET)
+            proj.repartition(1 if single else self.n_buckets, _BUCKET)
             .groupBy(_BUCKET, *self.key_cols)
             .agg(
                 F.max_by(
@@ -862,7 +902,20 @@ class SnapshotMergeSink:
         if collect_metrics:
             # both counts ride the single write job — zero extra jobs
             delta_df = delta_df.observe(obs_merge, F.count(F.lit(1)).alias("n"))
-        delta_df.write.mode("overwrite").partitionBy(_BUCKET).parquet(out_path)
+        if single:
+            # one delta file for the whole batch, bucket id as a data
+            # column; the touched-bucket set rides the same write job
+            # via collect_set (bounded by n_buckets values)
+            from pyspark.sql import Observation
+
+            obs_buckets = Observation()
+            delta_df = delta_df.observe(
+                obs_buckets, F.collect_set(F.col(_BUCKET)).alias("bks")
+            )
+            delta_df.write.mode("overwrite").parquet(out_path)
+            written = sorted(int(x) for x in (_obs_row(obs_buckets).get("bks") or []))
+        else:
+            delta_df.write.mode("overwrite").partitionBy(_BUCKET).parquet(out_path)
         if collect_metrics:
             metrics.events_in = int(_obs_row(obs_in).get("n") or 0)
             metrics.merge_rows = int(_obs_row(obs_merge).get("n") or 0)
@@ -870,14 +923,17 @@ class SnapshotMergeSink:
 
         buckets = dict(manifest["buckets"]) if manifest else {}
         deltas = {k: list(v) for k, v in (manifest.get("deltas", {}) if manifest else {}).items()}
-        written = sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(out_path)
-            if d.startswith(f"{_BUCKET}=")
-        )
+        if not single:
+            written = sorted(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(out_path)
+                if d.startswith(f"{_BUCKET}=")
+            )
         metrics.buckets_touched = len(written)
         for k in written:
-            deltas.setdefault(str(k), []).append(f"{rel_delta}/{_BUCKET}={k}")
+            deltas.setdefault(str(k), []).append(
+                rel_delta if single else f"{rel_delta}/{_BUCKET}={k}"
+            )
 
         # -- inline compaction of long chains (before the commit, so the
         # fold and the ledger update land atomically together)

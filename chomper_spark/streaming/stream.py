@@ -65,6 +65,7 @@ class StreamingApply:
         write_mode: str = "cow",
         source: "FeedSource | None" = None,
         lineage_keep_batches: int | None = None,
+        delta_layout: str = "bucketed",
     ):
         if (feed_dir is None) == (source is None):
             raise ValueError("pass exactly one of feed_dir or source")
@@ -81,6 +82,11 @@ class StreamingApply:
         self.sink = SnapshotMergeSink(
             spark, state_root, n_buckets=n_buckets, write_mode=write_mode
         )
+        # "single" is the right MOR layout for small/frequent triggers:
+        # one delta file per micro-batch instead of one per bucket
+        # (n_buckets files per trigger explodes file counts at scale);
+        # compaction folds the chains either way
+        self.delta_layout = delta_layout
         self.lineage = LineageTable(spark, lineage_root) if lineage_root else None
         # bound the lineage table under continuous runs (one row set per
         # micro-batch otherwise grows it forever); None = keep all
@@ -93,8 +99,13 @@ class StreamingApply:
         """foreachBatch body.  Runs on the driver; all heavy lifting is
         DataFrame ops on executors."""
         staged = stage_by_conv(batch_df, self.stage_partitions)
+        kw = (
+            {"delta_layout": self.delta_layout}
+            if self.sink.write_mode == "mor"
+            else {}
+        )
         m = self.sink.apply_batch(
-            staged, batch_id=batch_id, collect_metrics=self.collect_metrics
+            staged, batch_id=batch_id, collect_metrics=self.collect_metrics, **kw
         )
         self.batch_metrics.append(m)
         if self.lineage is not None and not m.skipped:

@@ -128,3 +128,85 @@ def test_mor_write_never_mutates_shared_session_conf(spark, tmp_path):
     )
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert (m.events_in, m.merge_rows, m.dedup_drops) == (3, 2, 1)
+
+
+def _data_files(root):
+    import os
+    out = []
+    for r, _, fs in os.walk(root):
+        out += [os.path.join(r, f) for f in fs if f.endswith(".parquet")]
+    return out
+
+
+def test_mor_single_file_delta_layout(spark, tmp_path):
+    # delta_layout="single": each micro-batch writes ONE delta file
+    # (bucket id as a data column) instead of one per bucket — the
+    # layout for small/frequent streaming triggers where per-bucket
+    # files explode file counts at scale.  Semantics are identical:
+    # deletes, out-of-order, partial-bucket reads, compaction, GC.
+    b0 = [ev("I", "c1", 0, 10, text="newer"), ev("I", "c2", 0, 2)]
+    b1 = [ev("U", "c1", 0, 5, text="stale, must lose"), ev("D", "c2", 0, 7)]
+    b2 = [ev("I", "c2", 0, 9, text="resurrected"), ev("I", "c3", 1, 11)]
+    sink = _mor(spark, tmp_path / "t")
+    all_ev = []
+    for i, b in enumerate([b0, b1, b2]):
+        all_ev += b
+        m = sink.apply_batch(feed_df(spark, b), i, delta_layout="single",
+                             collect_metrics=True)
+        assert m.buckets_touched >= 1
+        snap_files = _data_files(
+            str(tmp_path / "t" / "snapshots" / f"s{i:08d}"))
+        assert len(snap_files) == 1  # ONE file per micro-batch
+    assert_state_equals_oracle(sink.read(), all_ev)
+    texts = {r["conv_id"]: r["text"] for r in sink.read().collect()}
+    assert texts == {"c1": "newer", "c2": "resurrected", "c3": "text c3/1 v11"}
+    # partial-bucket reads bucket-filter the shared file: a point lookup
+    # must not surface foreign-bucket rows
+    one = sink.read_keys([("c1", 0)]).collect()
+    assert len(one) == 1 and one[0]["text"] == "newer"
+    # mixed layouts interoperate
+    sink.apply_batch(feed_df(spark, [ev("U", "c3", 1, 20, text="bk")]), 3,
+                     delta_layout="bucketed")
+    assert {r["conv_id"]: r["text"] for r in sink.read().collect()}["c3"] == "bk"
+    # layout guardrails
+    with pytest.raises(ValueError, match="bucketed.*single|single.*bucketed"):
+        sink.apply_batch(feed_df(spark, b0), 9, delta_layout="nope")
+    cow = SnapshotMergeSink(spark, str(tmp_path / "cow"), n_buckets=4)
+    with pytest.raises(ValueError, match="mor"):
+        cow.apply_batch(feed_df(spark, b0), 0, delta_layout="single")
+
+
+def test_mor_single_layout_compaction_and_gc(spark, tmp_path):
+    sink = _mor(spark, tmp_path / "t", mor_compact_threshold=3)
+    all_ev = []
+    for i in range(7):
+        b = [ev("U" if i else "I", "c1", 0, i, text=f"v{i}"), ev("I", f"x{i}", 0, 100 + i)]
+        all_ev += b
+        sink.apply_batch(feed_df(spark, b), i, delta_layout="single")
+    man = sink.current_manifest()
+    assert all(len(v) < 3 for v in man.get("deltas", {}).values())
+    assert_state_equals_oracle(sink.read(), all_ev)
+    before = {(r["conv_id"], r["text"]) for r in sink.read().collect()}
+    sink.expire_snapshots(keep_manifests=1)
+    assert {(r["conv_id"], r["text"]) for r in sink.read().collect()} == before
+
+
+def test_streaming_apply_single_delta_layout(spark, tmp_path):
+    from chomper_spark.streaming import StreamingApply
+    from tests.helpers import assert_state_equals_oracle as chk
+
+    feed_dir = str(tmp_path / "feed")
+    evs = []
+    for b in range(3):
+        chunk = [ev("I", f"c{b}", 0, b + 1), ev("U", "c0", 0, 10 + b, text=f"u{b}")]
+        evs += chunk
+        feed_df(spark, chunk).coalesce(1).write.mode("append").parquet(feed_dir)
+    app = StreamingApply(
+        spark, feed_dir, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, n_buckets=8, write_mode="mor",
+        delta_layout="single",
+    )
+    app.run_available()
+    chk(app.read(), evs)
+    files = _data_files(str(tmp_path / "state" / "snapshots"))
+    assert len(files) <= 3  # one delta file per micro-batch, not per bucket
