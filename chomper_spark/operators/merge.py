@@ -979,6 +979,54 @@ class SnapshotMergeSink:
         )
         return metrics
 
+    def compact(self) -> dict:
+        """Fold EVERY delta chain into fresh per-bucket bases, now —
+        the on-demand maintenance twin of the threshold-triggered
+        inline compaction in ``_apply_mor`` (Iceberg's rewrite_data_files
+        / Hudi's compactor).  Run from a maintenance job before
+        serving-heavy periods: MOR reads then scan one base file per
+        bucket with no latest-wins reduce work beyond the scan.
+
+        Commits a new snapshot; a no-op (returns unchanged counts)
+        when no deltas exist.  Safe alongside readers — they follow the
+        atomic ``_CURRENT`` pointer."""
+        manifest = self.current_manifest()
+        if manifest is None or not manifest.get("deltas"):
+            return {"buckets_compacted": 0, "delta_refs_folded": 0}
+        deltas = manifest["deltas"]
+        to_compact = sorted(int(k) for k in deltas)
+        n_refs = sum(len(v) for v in deltas.values())
+        state_schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+        reduced = self._read_buckets(manifest, to_compact)
+        snap_id = manifest["snapshot_id"] + 1
+        rel_base = f"snapshots/s{snap_id:08d}/base"
+        base_path = os.path.join(self.root, rel_base)
+        folded = reduced.withColumn(_BUCKET, self._bucket_expr())
+        if self.compact_on_write:
+            folded = folded.repartition(
+                min(self.n_buckets, max(1, len(to_compact))), _BUCKET
+            )
+        folded.write.mode("overwrite").partitionBy(_BUCKET).parquet(base_path)
+        buckets = dict(manifest["buckets"])
+        for k in to_compact:
+            if os.path.isdir(os.path.join(base_path, f"{_BUCKET}={k}")):
+                buckets[str(k)] = f"{rel_base}/{_BUCKET}={k}"
+            else:
+                buckets.pop(str(k), None)
+        self._commit(
+            {
+                "snapshot_id": snap_id,
+                "committed_batches": manifest["committed_batches"],
+                "buckets": buckets,
+                "deltas": {},
+                "changes": dict(self._changes_map(manifest)),
+                "schema": json.dumps(state_schema.jsonValue()),
+                "key_cols": self.key_cols,
+                "n_buckets": self.n_buckets,
+            }
+        )
+        return {"buckets_compacted": len(to_compact), "delta_refs_folded": n_refs}
+
     def expire_snapshots(self, keep_manifests: int = 3) -> dict:
         """Garbage-collect snapshot data no longer reachable.
 

@@ -34,6 +34,8 @@ def main(argv: list[str] | None = None) -> None:
                          "newest N manifests are unreachable and GC'd")
     ap.add_argument("--keep-lineage-batches", type=int, default=10_000)
     ap.add_argument("--n-buckets", type=int, default=256)
+    ap.add_argument("--compact", action="store_true",
+                    help="fold all MOR delta chains into fresh bases first")
     args = ap.parse_args(argv)
 
     from chomper_spark.operators.lineage import LineageTable
@@ -43,6 +45,8 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_spark("chomper-spark-maintain")
     report: dict = {}
     sink = SnapshotMergeSink(spark, args.state_root, n_buckets=args.n_buckets)
+    if args.compact:
+        report["compaction"] = sink.compact()
     report["snapshots"] = sink.expire_snapshots(keep_manifests=args.keep_manifests)
     if args.lineage and os.path.isdir(args.lineage):
         report["lineage"] = LineageTable(spark, args.lineage).expire(

@@ -210,3 +210,29 @@ def test_streaming_apply_single_delta_layout(spark, tmp_path):
     chk(app.read(), evs)
     files = _data_files(str(tmp_path / "state" / "snapshots"))
     assert len(files) <= 3  # one delta file per micro-batch, not per bucket
+
+
+def test_on_demand_compact_folds_all_chains(spark, tmp_path):
+    # sink.compact(): the maintenance twin of inline compaction — folds
+    # every delta chain (bucketed AND shared) into fresh bases, commits
+    # one snapshot, and leaves reads identical
+    sink = _mor(spark, tmp_path / "t", mor_compact_threshold=100)  # inline off
+    all_ev = []
+    for i in range(4):
+        b = [ev("U" if i else "I", "c1", 0, i, text=f"v{i}"), ev("I", f"x{i}", 0, 50 + i)]
+        all_ev += b
+        sink.apply_batch(feed_df(spark, b), i,
+                         delta_layout="single" if i % 2 else "bucketed")
+    assert sink.current_manifest()["deltas"]
+    before = {(r["conv_id"], r["text"]) for r in sink.read().collect()}
+    rep = sink.compact()
+    assert rep["buckets_compacted"] >= 1 and rep["delta_refs_folded"] >= 4
+    man = sink.current_manifest()
+    assert man["deltas"] == {} and man["buckets"]
+    assert {(r["conv_id"], r["text"]) for r in sink.read().collect()} == before
+    assert_state_equals_oracle(sink.read(), all_ev)
+    # idempotent no-op on a compacted table; ledger untouched
+    assert sink.compact() == {"buckets_compacted": 0, "delta_refs_folded": 0}
+    assert set(man["committed_batches"]) == {0, 1, 2, 3}
+    # the batch ledger still skips replays after compaction
+    assert sink.apply_batch(feed_df(spark, all_ev[:2]), 0).skipped
