@@ -94,13 +94,18 @@ def main() -> None:
     spark = get_spark(
         "bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
     )
-    # warm the JVM/codegen/shuffle path with a small untimed replay so
-    # query timings measure the engine, not first-run classloading
-    _apply_feed(
-        spark,
-        synthetic_change_feed(spark, 50_000, n_convs=1_000, seed=7, n_partitions=CPUS),
-        n_buckets=CPUS,
-    )
+    # warm the JVM/codegen/shuffle path with small untimed replays so
+    # query timings measure the engine, not first-run classloading.
+    # BOTH bucket counts: codegen embeds the n_buckets literal, so the
+    # 16-bucket entry queries would otherwise pay a fresh whole-stage
+    # compile on their first replay (measured ~6s extra on the first
+    # COW query).
+    for nb in (CPUS, 16):
+        _apply_feed(
+            spark,
+            synthetic_change_feed(spark, 50_000, n_convs=1_000, seed=7, n_partitions=CPUS),
+            n_buckets=nb,
+        )
     # touch the testdata parquet once untimed: the FIRST timed query
     # otherwise pays the cold page-cache read that every later query
     # gets for free (measured ±50% swing on q1)
