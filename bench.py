@@ -96,11 +96,12 @@ def main() -> None:
     )
     # warm the JVM/codegen/shuffle path with small untimed replays so
     # query timings measure the engine, not first-run classloading.
-    # BOTH bucket counts: codegen embeds the n_buckets literal, so the
-    # 16-bucket entry queries would otherwise pay a fresh whole-stage
-    # compile on their first replay (measured ~6s extra on the first
-    # COW query).
-    for nb in (CPUS, 16):
+    # EVERY bucket count the timed queries use: codegen embeds the
+    # n_buckets literal, so each distinct shape pays a fresh whole-stage
+    # compile on first use (measured ~6s on the first COW query).
+    # CPUS = q1/q2 replays, 16 = the cdc_* entry queries, 8 = the
+    # dedup_incremental hash-index sink.
+    for nb in (CPUS, 16, 8):
         _apply_feed(
             spark,
             synthetic_change_feed(spark, 50_000, n_convs=1_000, seed=7, n_partitions=CPUS),

@@ -182,6 +182,18 @@ class SnapshotMergeSink:
         self.mor_compact_threshold = mor_compact_threshold
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+        # n_buckets and key_cols are TABLE properties, recorded in the
+        # manifest at creation: every existing row's location is a
+        # function of them, so honoring a different constructor value on
+        # an existing table would orphan all current state (e.g. a
+        # maintenance compact() re-hashing into dirs the manifest never
+        # references — silent data loss).  Re-bucketing/re-keying needs
+        # an explicit full rewrite, not a config change; until that
+        # exists, the on-disk values win.
+        m = self.current_manifest()
+        if m is not None:
+            self.n_buckets = int(m.get("n_buckets", self.n_buckets))
+            self.key_cols = list(m.get("key_cols", self.key_cols))
 
     # ---------------------------------------------------------- manifest io
 

@@ -66,16 +66,21 @@ def csv_feeder(
             # from_csv never sees a header option — fold the header line
             # into the skipped prefix instead of parsing it as data.
             # Values then map POSITIONALLY, so first validate the file's
-            # actual header against the caller's columns/schema and
-            # reorder to the file's order when the names merely differ
-            # in order — silent positional mis-assignment is the failure
-            # mode this guards.  (Naive split: quoted delimiters inside
-            # header names aren't supported on this path.)
+            # actual header against the declared field order and reorder
+            # to the file's order when the names merely differ in order —
+            # silent positional mis-assignment is the failure mode this
+            # guards.  The reorder must hit whatever actually feeds the
+            # DDL below: the SCHEMA when one is given (string DDL is
+            # normalized to a StructType first), else ``columns``.
+            # (Naive split: quoted delimiters inside header names aren't
+            # supported on this path.)
+            if isinstance(schema, str):
+                schema = T.StructType.fromDDL(schema)
             expected = (
-                list(columns)
-                if columns
-                else [f_.name for f_ in schema.fields]
+                [f_.name for f_ in schema.fields]
                 if isinstance(schema, T.StructType)
+                else list(columns)
+                if columns
                 else None
             )
             if expected is not None:
@@ -92,11 +97,11 @@ def csv_feeder(
                             f"csv header {names} does not match the declared "
                             f"columns {expected}"
                         )
-                    if columns:
-                        columns = names
-                    else:
+                    if isinstance(schema, T.StructType):
                         by_name = {f_.name: f_ for f_ in schema.fields}
                         schema = T.StructType([by_name[n] for n in names])
+                    else:
+                        columns = names
             skip += 1
             header = False
         if schema is None and columns:

@@ -85,7 +85,12 @@ class StreamingApply:
         # "single" is the right MOR layout for small/frequent triggers:
         # one delta file per micro-batch instead of one per bucket
         # (n_buckets files per trigger explodes file counts at scale);
-        # compaction folds the chains either way
+        # compaction folds the chains either way.  Fail at construction,
+        # not silently per batch: a COW run cannot honor it.
+        if delta_layout != "bucketed" and write_mode != "mor":
+            raise ValueError(
+                f"delta_layout={delta_layout!r} applies to write_mode='mor' only"
+            )
         self.delta_layout = delta_layout
         self.lineage = LineageTable(spark, lineage_root) if lineage_root else None
         # bound the lineage table under continuous runs (one row set per

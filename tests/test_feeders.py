@@ -134,3 +134,21 @@ def test_jdbc_scan_option_passthrough():
     }
     with pytest.raises(ValueError, match="ALL of"):
         fd.jdbc_scan_options("jdbc:h2:mem", "t", partition_column="id")
+
+
+def test_csv_feeder_header_reorder_hits_schema_when_both_given(spark, tmp_path):
+    # when columns AND a schema are supplied, the DDL comes from the
+    # schema — the reorder must hit the schema (round-3 review: fixing
+    # only `columns` silently blessed the positional mis-assignment)
+    p = tmp_path / "both.csv"
+    p.write_text("junk\nage,name\n29,Frank\n")
+    df = fd.csv_feeder(
+        spark, str(p), columns=["name", "age"],
+        schema="name string, age string", skip=1, header=True,
+    )
+    assert {r["name"]: r["age"] for r in df.collect()} == {"Frank": "29"}
+    # string-DDL schema alone is normalized and reordered too
+    df2 = fd.csv_feeder(
+        spark, str(p), schema="name string, age string", skip=1, header=True
+    )
+    assert {r["name"]: r["age"] for r in df2.collect()} == {"Frank": "29"}

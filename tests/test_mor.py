@@ -236,3 +236,23 @@ def test_on_demand_compact_folds_all_chains(spark, tmp_path):
     assert set(man["committed_batches"]) == {0, 1, 2, 3}
     # the batch ledger still skips replays after compaction
     assert sink.apply_batch(feed_df(spark, all_ev[:2]), 0).skipped
+
+
+def test_table_properties_come_from_manifest_not_constructor(spark, tmp_path):
+    # n_buckets/key_cols are TABLE properties: reopening an existing
+    # table with different constructor values must honor the manifest —
+    # otherwise a maintenance compact() with a default n_buckets
+    # re-hashes rows into unreferenced dirs (silent data loss, caught
+    # in round-3 review and reproduced before this guard existed)
+    evs = [ev("I", f"c{i}", 0, i) for i in range(12)]
+    sink = _mor(spark, tmp_path / "t")  # n_buckets=4
+    sink.apply_batch(feed_df(spark, evs), 0)
+    # reopen as a maintenance job would: wrong bucket count + key cols
+    maint = SnapshotMergeSink(spark, str(tmp_path / "t"), n_buckets=256,
+                              key_cols=["text_hash"], write_mode="mor")
+    assert maint.n_buckets == 4 and maint.key_cols == ["conv_id", "turn_idx"]
+    rep = maint.compact()
+    assert rep["buckets_compacted"] >= 1
+    assert maint.read().count() == 12  # every row survived
+    assert maint.current_manifest()["n_buckets"] == 4
+    assert_state_equals_oracle(maint.read(), evs)

@@ -262,3 +262,13 @@ def test_kafka_source_contract_options_and_decode(spark):
     # unparseable value → all-NULL quarantine row, never a crash
     bad = spark.createDataFrame([(b"not json", b"k")], "value binary, key binary")
     assert src.decode(bad).collect()[0]["conv_id"] is None
+
+
+def test_streaming_rejects_delta_layout_on_cow(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="mor"):
+        StreamingApply(
+            spark, str(tmp_path / "f"), str(tmp_path / "s"), str(tmp_path / "c"),
+            write_mode="cow", delta_layout="single",
+        )
