@@ -53,10 +53,17 @@ def test_random_replay_matches_reference(spark, tmp_path_factory, events, n_batc
 @given(
     events=st.lists(_event, min_size=1, max_size=24),
     n_batches=st.integers(min_value=1, max_value=3),
+    layouts=st.lists(
+        st.sampled_from(["bucketed", "single"]), min_size=3, max_size=3
+    ),
 )
-def test_random_replay_mor_matches_reference(spark, tmp_path_factory, events, n_batches):
+def test_random_replay_mor_matches_reference(
+    spark, tmp_path_factory, events, n_batches, layouts
+):
     # the merge-on-read sink must satisfy the SAME oracle on the same
-    # random feeds — base∪deltas reduce ≡ the COW table at every point
+    # random feeds — base∪deltas reduce ≡ the COW table at every point,
+    # with per-batch delta layouts (bucketed / shared single-file)
+    # chosen at random and interleaved
     evs = [
         ev(op, conv, turn, seq, secs=ts, text=f"t{seq}")
         for seq, (op, conv, turn, ts) in enumerate(events)
@@ -67,7 +74,8 @@ def test_random_replay_mor_matches_reference(spark, tmp_path_factory, events, n_
     for b in range(n_batches):
         chunk = evs[b::n_batches]
         if chunk:
-            sink.apply_batch(feed_df(spark, chunk), batch_id=b)
+            sink.apply_batch(feed_df(spark, chunk), batch_id=b,
+                             delta_layout=layouts[b])
     assert_state_equals_oracle(sink.read(), evs)
 
 
