@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from chomper_spark.functions.text import hex60_duck, hex60_spark
+from chomper_spark.functions.text import hex60_duck, hex60_spark, stable6, stable6_sql
 
 SHINGLE_N = 3
 MINHASH_K = 12
@@ -121,10 +121,9 @@ def _pair_jaccard(sh: DataFrame, pairs_from: DataFrame | None = None) -> DataFra
         .select(
             "doc_a",
             "doc_b",
-            F.round(
+            stable6(
                 F.col("common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double"),
-                6,
+                / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double")
             ).alias("jaccard"),
         )
     )
@@ -193,9 +192,9 @@ common AS (
   GROUP BY 1, 2
 )
 SELECT c.doc_a, c.doc_b,
-       round(common::DOUBLE / (x.n_sh + y.n_sh - common)::DOUBLE, 6) AS jaccard
+       floor((common::DOUBLE / (x.n_sh + y.n_sh - common)::DOUBLE) * 1000000.0) / 1000000.0 AS jaccard
 FROM common c JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id
-WHERE round(common::DOUBLE / (x.n_sh + y.n_sh - common)::DOUBLE, 6) >= {threshold}
+WHERE floor((common::DOUBLE / (x.n_sh + y.n_sh - common)::DOUBLE) * 1000000.0) / 1000000.0 >= {threshold}
 """
 
 
@@ -288,7 +287,7 @@ common AS (
   GROUP BY 1, 2
 )
 SELECT c.doc_a, c.doc_b,
-       round(common::DOUBLE / (x.n_sh + y.n_sh - common)::DOUBLE, 6) AS jaccard
+       floor((common::DOUBLE / (x.n_sh + y.n_sh - common)::DOUBLE) * 1000000.0) / 1000000.0 AS jaccard
 FROM common c JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id
 """
 

@@ -15,6 +15,17 @@ Floating-point determinism: every dot product is an EXPLICIT
 left-associated sum of float→double products, generated identically
 for Spark SQL and DuckDB — bit-identical results, so rank outputs are
 hash-stable.  Only integer columns (ids, ranks, buckets) are exported.
+
+Known trade of the literal-embedded parity design: the multi-band
+projections carry bands×planes×dim double literals (3072 for the
+6-band melt), which overflows JVM whole-stage-codegen limits — Spark
+logs "Failed to compile the generated Java code" and transparently
+falls back to interpreted expression evaluation (correct, ~3-5×
+slower per row on that stage).  A production deployment that does not
+need a cross-engine oracle should store planes/centroids as one
+broadcast array column and fold with aggregate(zip_with(...)) — same
+left-associated order, codegen-friendly — or batch the projection
+through a vectorized pandas_udf.
 """
 
 from __future__ import annotations
@@ -22,6 +33,8 @@ from __future__ import annotations
 import hashlib
 
 from pyspark.sql import DataFrame, Window, functions as F
+
+from chomper_spark.functions.text import stable6, stable6_sql
 
 DIM = 64
 N_QUERIES = 8
@@ -500,7 +513,7 @@ def embedding_neardup_pairs(
     return (
         cand.join(a_emb, "vec_a")
         .join(b_emb, "vec_b")
-        .select("vec_a", "vec_b", F.round(sim, 6).alias("cosine"))
+        .select("vec_a", "vec_b", stable6(sim).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -522,9 +535,9 @@ cand AS (
   FROM capped a JOIN capped b
     ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
-SELECT c.vec_a, c.vec_b, round({cos}, 6) AS cosine
+SELECT c.vec_a, c.vec_b, {stable6_sql(cos)} AS cosine
 FROM cand c
 JOIN embeddings ea ON ea.vec_id = c.vec_a
 JOIN embeddings eb ON eb.vec_id = c.vec_b
-WHERE round({cos}, 6) >= {threshold}
+WHERE {stable6_sql(cos)} >= {threshold}
 """

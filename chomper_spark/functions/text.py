@@ -48,6 +48,23 @@ def hex60_duck(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
+def stable6(col: F.Column) -> F.Column:
+    """6-decimal truncation that is bit-stable across engines.
+
+    ``round(x, 6)`` is NOT: when x·10⁶ lands on a .5 boundary, Spark
+    (BigDecimal HALF_UP over the exact binary expansion) and DuckDB
+    (scaled-double rounding) can disagree by one ulp — observed on a
+    real doc at sf0.001 (0.518688 vs 0.518687).  floor(x·10⁶)/10⁶ has
+    no tie to break: both engines do the same IEEE-754 multiply on the
+    same double, then floor the identical result."""
+    return F.floor(col * F.lit(1e6)) / F.lit(1e6)
+
+
+def stable6_sql(expr: str) -> str:
+    """DuckDB text for the same truncation (see ``stable6``)."""
+    return f"floor(({expr}) * 1000000.0) / 1000000.0"
+
+
 # ---------------------------------------------------------------- token stats
 
 
@@ -94,9 +111,9 @@ def quality_score(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         n_tok.cast("int").alias("n_tokens"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(avg_len, 6).alias("avg_token_len"),
-        F.round(score, 6).alias("quality_score"),
+        stable6(stop_ratio).alias("stopword_ratio"),
+        stable6(avg_len).alias("avg_token_len"),
+        stable6(score).alias("quality_score"),
     )
 
 
@@ -111,11 +128,13 @@ WITH q AS (
 )
 SELECT doc_id,
        n_tok::INT AS n_tokens,
-       round(n_stop / n_tok, 6) AS stopword_ratio,
-       round((n_chars - (n_tok - 1.0)) / n_tok, 6) AS avg_token_len,
-       round(0.4 * least(n_tok / 100.0, 1.0)
-           + 0.3 * (1.0 - n_stop / n_tok)
-           + 0.3 * least(((n_chars - (n_tok - 1.0)) / n_tok) / 8.0, 1.0), 6) AS quality_score
+       {stable6_sql("n_stop / n_tok")} AS stopword_ratio,
+       {stable6_sql("(n_chars - (n_tok - 1.0)) / n_tok")} AS avg_token_len,
+       {stable6_sql(
+           "0.4 * least(n_tok / 100.0, 1.0) "
+           "+ 0.3 * (1.0 - n_stop / n_tok) "
+           "+ 0.3 * least(((n_chars - (n_tok - 1.0)) / n_tok) / 8.0, 1.0)"
+       )} AS quality_score
 FROM q
 """
 
@@ -219,17 +238,17 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         )
         .select(
             "doc_id",
-            F.round(F.col("_dup").cast("double") / F.col("_n").cast("double"), 6).alias(
+            stable6(F.col("_dup").cast("double") / F.col("_n").cast("double")).alias(
                 "dup_bigram_frac"
             ),
-            F.round(F.col("_top").cast("double") / F.col("_n").cast("double"), 6).alias(
+            stable6(F.col("_top").cast("double") / F.col("_n").cast("double")).alias(
                 "top_bigram_frac"
             ),
         )
     )
 
 
-REPETITION_STATS_SQL = """
+REPETITION_STATS_SQL = f"""
 WITH grams AS (
   SELECT doc_id, unnest(list_transform(
     range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
@@ -238,8 +257,8 @@ WITH grams AS (
 ),
 per_gram AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g)
 SELECT doc_id,
-       round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c)::DOUBLE, 6) AS dup_bigram_frac,
-       round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS top_bigram_frac
+       {stable6_sql("sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c)::DOUBLE")} AS dup_bigram_frac,
+       {stable6_sql("max(c)::DOUBLE / sum(c)::DOUBLE")} AS top_bigram_frac
 FROM per_gram GROUP BY doc_id
 """
 
