@@ -16,23 +16,27 @@ left-associated sum of float→double products, generated identically
 for Spark SQL and DuckDB — bit-identical results, so rank outputs are
 hash-stable.  Only integer columns (ids, ranks, buckets) are exported.
 
-Known trade of the literal-embedded parity design: the multi-band
-projections carry bands×planes×dim double literals (3072 for the
-6-band melt), which overflows JVM whole-stage-codegen limits — Spark
-logs "Failed to compile the generated Java code" and transparently
-falls back to interpreted expression evaluation (correct, ~3-5×
-slower per row on that stage).  A production deployment that does not
-need a cross-engine oracle should store planes/centroids as one
-broadcast array column and fold with aggregate(zip_with(...)) — same
-left-associated order, codegen-friendly — or batch the projection
-through a vectorized pandas_udf.
+Physical split (round 4): the literal-embedded projections stay ONLY
+on the DuckDB-oracle side (`*_sql`).  The Spark side computes every
+plane/centroid projection and candidate-pair cosine in an
+Arrow-batched numpy pandas_udf that accumulates in the SAME
+left-associated element order as the SQL — float32→float64 casts are
+exact and IEEE-754 mult/add are deterministic, so the two engines stay
+bit-identical while Spark's hot stages remain inside whole-stage
+codegen (the 3072-double-literal trees previously overflowed the JVM
+64KB method limit → "Failed to compile" → interpreted fallback, 3-5×
+slower; see tests/test_plans.py::test_similarity_* for the guards).
 """
 
 from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
 
 from chomper_spark.functions.text import stable6, stable6_sql
 
@@ -122,6 +126,98 @@ WHERE rank <= {top_k}
 """
 
 
+# ----------------------------- Arrow-vectorized projections (Spark side)
+#
+# Every helper below reproduces its literal-SQL twin EXACTLY: the dot
+# products accumulate left-associated over the element index (acc
+# starts at the d=1 product, then adds d=2..dim in order), so each
+# row's double arithmetic is the same IEEE operation sequence the
+# DuckDB oracle executes.  numpy only vectorizes ACROSS rows.
+
+
+def _mat(s: pd.Series, dim: int) -> np.ndarray:
+    """(n, dim) float64 matrix from an Arrow array<float> series —
+    the float32→float64 widening is exact, mirroring the SQL CAST."""
+    if len(s) == 0:
+        return np.empty((0, dim), dtype=np.float64)
+    return np.vstack(s.to_numpy()).astype(np.float64)
+
+
+def _band_buckets_udf(bands: int, rows: int, dim: int):
+    """pandas_udf: embedding → array<int> of per-band bucket ids (the
+    vectorized twin of ``_band_bucket_sql`` for every band at once)."""
+    planes = np.asarray(_planes(bands * rows, dim), dtype=np.float64)  # (B·R, dim)
+    weights = np.tile(1 << np.arange(rows, dtype=np.int64), bands)
+
+    @pandas_udf("array<int>")
+    def buckets(emb: pd.Series) -> pd.Series:
+        m = _mat(emb, dim)
+        acc = m[:, 0:1] * planes[:, 0]  # (n, B·R): row i, plane p
+        for d in range(1, dim):
+            acc = acc + m[:, d : d + 1] * planes[:, d]
+        bits = (acc >= 0.0).astype(np.int64) * weights
+        out = bits.reshape(len(m), bands, rows).sum(axis=2).astype(np.int32)
+        return pd.Series(out.tolist())
+
+    return buckets
+
+
+def _cosine_udf(dim: int):
+    """pandas_udf: (a, b) → cosine, accumulated exactly like
+    ``_cosine_sql`` (dot / (sqrt(na) * sqrt(nb)), left-associated)."""
+
+    @pandas_udf("double")
+    def cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma, mb = _mat(a, dim), _mat(b, dim)
+        dot = ma[:, 0] * mb[:, 0]
+        na = ma[:, 0] * ma[:, 0]
+        nb = mb[:, 0] * mb[:, 0]
+        for d in range(1, dim):
+            dot = dot + ma[:, d] * mb[:, d]
+            na = na + ma[:, d] * ma[:, d]
+            nb = nb + mb[:, d] * mb[:, d]
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    return cosine
+
+
+def _centroid_dots(m: np.ndarray, cents: np.ndarray, dim: int) -> np.ndarray:
+    """(n, C) per-centroid dot matrix, left-associated over d."""
+    acc = m[:, 0:1] * cents[:, 0]
+    for d in range(1, dim):
+        acc = acc + m[:, d : d + 1] * cents[:, d]
+    return acc
+
+
+def _ivf_cell_udf(cents: np.ndarray, dim: int):
+    """pandas_udf: embedding → nearest-cell id.  Ties go to the lowest
+    cell exactly as the SQL CASE's first-match arm does (numpy argmax
+    over ``dots == max`` returns the first hit)."""
+
+    @pandas_udf("int")
+    def cell(emb: pd.Series) -> pd.Series:
+        m = _mat(emb, dim)
+        if len(m) == 0:
+            return pd.Series([], dtype="int32")
+        dots = _centroid_dots(m, cents, dim)
+        mx = dots.max(axis=1)
+        return pd.Series((dots == mx[:, None]).argmax(axis=1).astype(np.int32))
+
+    return cell
+
+
+def _ivf_dots_udf(cents: np.ndarray, dim: int):
+    """pandas_udf: embedding → array<double> of per-centroid dots (the
+    probe-side melt input; posexplode supplies the cell index)."""
+
+    @pandas_udf("array<double>")
+    def dots(emb: pd.Series) -> pd.Series:
+        m = _mat(emb, dim)
+        return pd.Series(_centroid_dots(m, cents, dim).tolist())
+
+    return dots
+
+
 # --------------------------------------------- banded random-hyperplane LSH
 
 
@@ -160,29 +256,14 @@ def _band_bucket_sql(
 def _melt_bands(emb: DataFrame, bands: int, rows: int, dim: int) -> DataFrame:
     """One (vec_id, band_idx, bucket) row per vector per band — the
     shared melt under both candidate generation and the occupancy
-    stats, so the two can never disagree about bucket membership."""
-    sig = emb.select(
-        "vec_id",
-        *[
-            F.expr(_band_bucket_sql(_SP, "embedding", b, rows, dim))
-            .cast("int")
-            .alias(f"band{b}")
-            for b in range(bands)
-        ],
+    stats, so the two can never disagree about bucket membership.
+    All band signatures come from ONE Arrow-batched projection
+    (``_band_buckets_udf``), bit-identical to the SQL oracle's
+    literal-embedded ``_band_bucket_sql``."""
+    b_udf = _band_buckets_udf(bands, rows, dim)
+    return emb.select(
+        "vec_id", F.posexplode(b_udf("embedding")).alias("band_idx", "bucket")
     )
-    return sig.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("bucket")
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vec_id", "bb.band_idx", "bb.bucket")
 
 
 def _banded(
@@ -268,11 +349,11 @@ def lsh_bucketed_ann(
     n_emb = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
     )
-    sim = F.expr(_cosine_sql("a_emb", "n_emb", _SP, dim))
+    cos = _cosine_udf(dim)
     scored = (
         cand.join(a_emb, "vec_id")
         .join(n_emb, "neighbor_id")
-        .select("vec_id", "neighbor_id", sim.alias("sim"))
+        .select("vec_id", "neighbor_id", cos("a_emb", "n_emb").alias("sim"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -395,37 +476,29 @@ def ivf_topk(
     DuckDB oracle mirrors.  Size C ≈ √n in production (see
     ``_centroids``); pass L2-normalized centroids (spherical k-means)
     so the argmax-dot assignment is the argmin-angle cell.  Centroids
-    are inlined as literals — fine into the thousands; for very large C
-    switch the assignment to an argmax over a broadcast array column
-    (same plan shape, no code-size blowup)."""
-    dots = _cell_dots_sql(_SP, "embedding", n_centroids, dim, centroids=centroids)
-    case, mx = _cell_case_sql(dots)
-    with_mx = emb.withColumn("_mx", F.expr(mx))
-    assigned = with_mx.select(
-        "vec_id", "embedding", F.expr(case).cast("int").alias("cell")
+    ride to executors inside the Arrow-projection closure (a C×dim
+    float64 array — broadcast-by-closure, never shuffled), so C can
+    grow into the thousands with no plan-size blowup."""
+    cents = np.asarray(
+        centroids if centroids is not None else _centroids(n_centroids, dim),
+        dtype=np.float64,
     )
-    data = assigned.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"), "cell"
+    if cents.shape != (n_centroids, dim):
+        raise ValueError(f"centroids must be {n_centroids} rows of dim {dim}")
+    cell_udf = _ivf_cell_udf(cents, dim)
+    data = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        cell_udf("embedding").alias("cell"),
     )
     # probe side: melt ONLY the n_queries query vectors (tiny)
+    dots_udf = _ivf_dots_udf(cents, dim)
     q_melted = (
         emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding", dots_udf("embedding").alias("_dots"))
         .select(
-            "vec_id",
-            "embedding",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(c).alias("cell"),
-                            F.expr(d).cast("double").alias("cdot"),
-                        )
-                        for c, d in enumerate(dots)
-                    ]
-                )
-            ).alias("cd"),
+            "vec_id", "embedding", F.posexplode(F.col("_dots")).alias("cell", "cdot")
         )
-        .select("vec_id", "embedding", F.col("cd.cell"), F.col("cd.cdot"))
     )
     wp = Window.partitionBy("vec_id").orderBy(F.col("cdot").desc(), F.col("cell"))
     probes = (
@@ -433,11 +506,11 @@ def ivf_topk(
         .filter(F.col("_rn") <= n_probes)
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "cell")
     )
-    sim = F.expr(_cosine_sql("q_emb", "n_emb", _SP, dim))
+    cos = _cosine_udf(dim)
     scored = (
         data.join(F.broadcast(probes), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", sim.alias("sim"))
+        .select("query_id", "neighbor_id", cos("q_emb", "n_emb").alias("sim"))
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -509,11 +582,11 @@ def embedding_neardup_pairs(
     )
     a_emb = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb"))
     b_emb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("n_emb"))
-    sim = F.expr(_cosine_sql("a_emb", "n_emb", _SP, dim))
+    cos = _cosine_udf(dim)
     return (
         cand.join(a_emb, "vec_a")
         .join(b_emb, "vec_b")
-        .select("vec_a", "vec_b", stable6(sim).alias("cosine"))
+        .select("vec_a", "vec_b", stable6(cos("a_emb", "n_emb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 

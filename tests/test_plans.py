@@ -168,6 +168,31 @@ def test_asof_chunked_windows_are_keyed_on_chunk(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_similarity_projections_compile_and_stay_vectorized(spark):
+    # round-3's literal-embedded hyperplane/centroid projections overflowed
+    # the JVM 64KB method limit ("Failed to compile" → interpreted
+    # fallback, 3-5× slower).  The Arrow-vectorized rewrite must
+    # (a) carry no giant literal trees — plan string stays small,
+    # (b) project via ArrowEvalPython (vectorized), never BatchEvalPython
+    # (per-row), and (c) execute clean with codegen fallback DISABLED,
+    # which turns any failed whole-stage compile into a hard error.
+    from chomper_spark.functions import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        for fn in (sim.lsh_bucketed_ann, sim.ivf_topk, sim.embedding_neardup_pairs):
+            df = fn(emb)
+            plan = _plan(df)
+            assert len(plan) < 200_000, f"{fn.__name__}: literal blowup ({len(plan)} chars)"
+            assert "ArrowEvalPython" in plan
+            assert "BatchEvalPython" not in plan
+            df.write.format("noop").mode("overwrite").save()
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", prev)
+
+
 def test_change_row_emission_adds_no_python_and_reuses_join(spark, tmp_path):
     # the change-audit rows derive from the SAME pre/post-image join the
     # merge computes — pure Catalyst (explode over struct array), no
