@@ -172,10 +172,16 @@ def decontaminate(
         f"transform(sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 1)), "
         f"i -> {hex60_spark(f'''concat_ws(' ', slice(split(text, ' '), i, {n}))''')})"
     )
-    shingled = docs.select("doc_id", F.explode(sh).alias("sh")).distinct()
     is_eval = F.col("doc_id") % eval_mod == 0
-    eval_sh = shingled.filter(is_eval).select("sh").distinct()
-    train = shingled.filter(~is_eval)
+    # eval side: shingle ONLY the eval slice (the doc_id filter reaches
+    # the scan) → distinct hash set, broadcast-sized.
+    eval_sh = docs.filter(is_eval).select(F.explode(sh).alias("sh")).distinct()
+    # train side: explode → broadcast semi-join, NO corpus-wide distinct
+    # first — a (doc_id, shingle) distinct would shuffle every shingle
+    # hash of the corpus just to drop per-doc repeats the post-join
+    # doc_id distinct absorbs anyway (join fan-out is bounded by doc
+    # length, and only matching rows survive the broadcast join).
+    train = docs.filter(~is_eval).select("doc_id", F.explode(sh).alias("sh"))
     hits = (
         train.join(F.broadcast(eval_sh), "sh")
         .select("doc_id")
