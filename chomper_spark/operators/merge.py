@@ -30,10 +30,14 @@ whose semantics match ``MERGE INTO``):
   rewritten.  At 10^10 rows this is what keeps a micro-batch O(batch),
   not O(table).
 * Snapshot isolation + exactly-once: each apply writes a NEW snapshot
-  directory and a manifest listing {bucket → data dir, committed batch
-  ids, schema}.  The commit is a single atomic rename of the
-  ``_CURRENT`` pointer; the batch-id ledger lives INSIDE the manifest,
-  so "state updated" and "batch recorded" are one atomic action — a
+  directory and commits a manifest — normally a DELTA manifest carrying
+  only the touched buckets' map entries (O(batch)), checkpointed to a
+  full manifest every _CHECKPOINT_EVERY commits so opening the table
+  folds a bounded chain.  The commit is a single atomic rename of the
+  ``_CURRENT`` pointer; the batch-id ledger lives INSIDE the manifest
+  as a contiguous high-watermark + bounded out-of-order set (never the
+  full id list — a years-long stream commits 10^5-10^6 batches), so
+  "state updated" and "batch recorded" are one atomic action — a
   replayed/resumed batch is skipped (ledger) and harmless anyway
   (idempotent latest-wins merge keyed on (conv_id, turn_idx, version)).
 * Late events: the state carries the applied version (_op_ts,
@@ -60,6 +64,94 @@ from chomper_spark.operators.evolve import align_to_schema, evolve_schema
 
 _BUCKET = "_bucket"
 _MANIFEST_RE = re.compile(r"^m\d{8}\.json$")
+
+# Commit-metadata bounds (round 4).  A continuous stream commits one
+# snapshot per micro-batch for years — 10^5-10^6 commits over 10^4-10^6
+# buckets at the design point — so nothing written PER COMMIT may be
+# proportional to table history or table width:
+#   * the batch-id ledger is a contiguous high-watermark plus a bounded
+#     out-of-order set (foreachBatch epochs are contiguous, so the set
+#     is empty in steady state), never the full id list;
+#   * a normal commit writes a DELTA manifest carrying only the touched
+#     buckets' map entries (O(batch)); every _CHECKPOINT_EVERY commits
+#     a full checkpoint manifest bounds the fold chain, so opening a
+#     table reads ≤ _CHECKPOINT_EVERY small files + one checkpoint
+#     (Iceberg's snapshot/manifest-list split, file-system flavored).
+_CHECKPOINT_EVERY = 16
+# sanity bound for pathological non-contiguous batch-id use (manual
+# callers skipping ids); contiguous streaming never grows the set.
+_RECENT_MAX = 100_000
+
+
+def _ledger_contains(manifest: dict | None, batch_id: int) -> bool:
+    """Exactly-once skip check against the bounded ledger — O(recent),
+    not O(all batches ever committed)."""
+    if manifest is None:
+        return False
+    if "batch_watermark" in manifest:
+        return batch_id <= manifest["batch_watermark"] or batch_id in set(
+            manifest.get("recent_batches", ())
+        )
+    # raw v1 manifest (pre-fold); normalize_full usually precedes this
+    return batch_id in set(manifest.get("committed_batches", ()))
+
+
+def _ledger_add(manifest: dict | None, batch_id: int) -> tuple[int, list[int]]:
+    """New (watermark, recent) after committing ``batch_id``: the
+    watermark advances through any now-contiguous prefix, so recent
+    stays empty under in-order epochs."""
+    wm = manifest["batch_watermark"] if manifest else -1
+    recent = set(manifest.get("recent_batches", ())) if manifest else set()
+    recent.add(batch_id)
+    while wm + 1 in recent:
+        wm += 1
+        recent.discard(wm)
+    if len(recent) > _RECENT_MAX:
+        raise ValueError(
+            f"batch-id ledger out-of-order set exceeded {_RECENT_MAX} ids "
+            f"(watermark {wm}); use contiguous batch ids"
+        )
+    return wm, sorted(recent)
+
+
+def _normalize_full(raw: dict) -> dict:
+    """A checkpoint manifest as the fold base.  v1 manifests (round ≤3)
+    carried the full ``committed_batches`` list — contract it to the
+    bounded watermark+recent form once, at read."""
+    if "batch_watermark" not in raw:
+        ids = set(raw.get("committed_batches", ()))
+        wm = -1
+        while wm + 1 in ids:
+            wm += 1
+        raw["batch_watermark"] = wm
+        raw["recent_batches"] = sorted(i for i in ids if i > wm)
+    raw.setdefault("deltas", {})
+    raw.setdefault("chain_len", 0)
+    return raw
+
+
+def _apply_manifest_delta(base: dict, d: dict) -> dict:
+    """Fold one delta manifest onto a resolved base.  Copies the maps
+    it edits so a cached base is never aliased."""
+    out = dict(base)
+    for k in ("snapshot_id", "batch_watermark", "recent_batches",
+              "schema", "key_cols", "n_buckets", "chain_len"):
+        out[k] = d[k]
+    buckets = dict(base.get("buckets", {}))
+    buckets.update(d.get("bucket_updates", {}))
+    for k in d.get("bucket_removals", ()):
+        buckets.pop(k, None)
+    out["buckets"] = buckets
+    deltas = {k: list(v) for k, v in base.get("deltas", {}).items()}
+    deltas.update({k: list(v) for k, v in d.get("delta_sets", {}).items()})
+    for k in d.get("delta_removals", ()):
+        deltas.pop(k, None)
+    out["deltas"] = deltas
+    if "changes" in base or d.get("changes_updates"):
+        changes = dict(base.get("changes", {}))
+        changes.update(d.get("changes_updates", {}))
+        out["changes"] = changes
+    return out
 
 
 def _obs_row(obs) -> dict:
@@ -200,33 +292,124 @@ class SnapshotMergeSink:
     def _current_path(self) -> str:
         return os.path.join(self.root, "_CURRENT")
 
-    def current_manifest(self) -> dict | None:
+    def _current_name(self) -> str | None:
         p = self._current_path()
         if not os.path.exists(p):
             return None
         with open(p) as fh:
-            name = fh.read().strip()
+            return fh.read().strip()
+
+    def _load_raw(self, name: str) -> dict:
         with open(os.path.join(self.root, "manifests", name)) as fh:
             return json.load(fh)
 
+    def _fold_by_name(self, name: str) -> dict:
+        """Resolve a manifest name to the FULL logical manifest, folding
+        its delta chain onto the nearest checkpoint (≤ _CHECKPOINT_EVERY
+        file reads; one cached fold makes the steady-state cost O(1)
+        per commit).  The folded dict carries ``_name`` for delta-commit
+        parent linkage; it is never written to disk."""
+        cached = getattr(self, "_fold_cache", None)
+        if cached and cached[0] == name:
+            return cached[1]
+        chain: list[dict] = []
+        cur = name
+        while True:
+            if cached and cached[0] == cur:
+                base = cached[1]
+                break
+            raw = self._load_raw(cur)
+            if not raw.get("delta"):
+                base = _normalize_full(raw)
+                break
+            chain.append(raw)
+            cur = raw["parent"]
+        for d in reversed(chain):
+            base = _apply_manifest_delta(base, d)
+        base["_name"] = name
+        self._fold_cache = (name, base)
+        return base
+
+    def current_manifest(self) -> dict | None:
+        name = self._current_name()
+        return None if name is None else self._fold_by_name(name)
+
     def committed_batches(self) -> set:
+        """Diagnostic helper (tests / small tables): MATERIALIZES the
+        committed-id set from the bounded watermark+recent ledger —
+        O(watermark), so never call it on a long-lived production
+        table; use ``_ledger_contains`` for membership."""
         m = self.current_manifest()
-        return set(m["committed_batches"]) if m else set()
+        if m is None:
+            return set()
+        return set(range(m["batch_watermark"] + 1)) | set(m.get("recent_batches", ()))
 
-    def _commit(self, manifest: dict) -> None:
-        """Write manifest then atomically flip the _CURRENT pointer.
-
-        The rename is the commit point: state + batch ledger become
-        visible together or not at all (exactly-once, crash-safe)."""
-        name = f"m{manifest['snapshot_id']:08d}.json"
+    def _write_manifest(self, doc: dict) -> str:
+        """Write a manifest file then atomically flip the _CURRENT
+        pointer.  The rename is the commit point: state + batch ledger
+        become visible together or not at all (exactly-once,
+        crash-safe)."""
+        name = f"m{doc['snapshot_id']:08d}.json"
         mpath = os.path.join(self.root, "manifests", name)
         with open(mpath + ".tmp", "w") as fh:
-            json.dump(manifest, fh)
+            json.dump(doc, fh)
         os.replace(mpath + ".tmp", mpath)
         fd, tmp = tempfile.mkstemp(dir=self.root)
         with os.fdopen(fd, "w") as fh:
             fh.write(name)
         os.replace(tmp, self._current_path())
+        return name
+
+    def _commit(
+        self,
+        new_full: dict,
+        parent: dict | None = None,
+        delta_doc: dict | None = None,
+        force_full: bool = False,
+    ) -> None:
+        """Commit ``new_full`` (the complete logical manifest).
+
+        With a ``delta_doc`` and an eligible parent, only the delta —
+        O(touched buckets) — is written; every _CHECKPOINT_EVERY
+        commits, and for every full-rewrite operation (truncate,
+        compact, schema evolution, legacy-v1 upgrade), a checkpoint is
+        written instead.  Either way the in-memory folded state is
+        installed into the fold cache, so the next ``apply_batch``
+        re-reads nothing."""
+        chain_len = 0 if parent is None else parent.get("chain_len", 0) + 1
+        as_delta = (
+            not force_full
+            and delta_doc is not None
+            and parent is not None
+            and parent.get("_name")
+            and chain_len <= _CHECKPOINT_EVERY
+        )
+        if as_delta:
+            doc = {
+                "format": 2,
+                "delta": True,
+                "parent": parent["_name"],
+                "chain_len": chain_len,
+                **{
+                    k: new_full[k]
+                    for k in (
+                        "snapshot_id", "batch_watermark", "recent_batches",
+                        "schema", "key_cols", "n_buckets",
+                    )
+                },
+                **delta_doc,
+            }
+        else:
+            chain_len = 0
+            doc = {
+                "format": 2,
+                "chain_len": 0,
+                **{k: v for k, v in new_full.items() if not k.startswith("_")},
+            }
+        name = self._write_manifest(doc)
+        new_full["chain_len"] = chain_len
+        new_full["_name"] = name
+        self._fold_cache = (name, new_full)
 
     # ------------------------------------------------------------- reading
 
@@ -252,19 +435,25 @@ class SnapshotMergeSink:
 
         Shared deltas (``delta_layout="single"``, one file holding many
         buckets' rows with the bucket id as a DATA column) are read
-        separately, filtered to the requested buckets, and unioned —
-        without the filter a partial-bucket read would surface foreign
-        rows and a COW rewrite would relocate them."""
+        separately, filtered PER FILE to the requested buckets whose
+        chains actually reference that file, and unioned.  The
+        per-file grain matters after partial compaction: a shared file
+        can hold bucket k's rows while only bucket j's chain still
+        references it (k's chain was folded into a base) — admitting
+        k's rows from it would re-read folded data.  The latest-wins
+        reduce would still dedup them against the newer base row, but
+        the read should not depend on that."""
         schema = T.StructType.fromJson(json.loads(manifest["schema"]))
         deltas = manifest.get("deltas", {})
-        paths, shared, has_delta = [], set(), False
+        paths, has_delta = [], False
+        shared: dict[str, set[int]] = {}  # shared rel path → referencing buckets
         for k in buckets:
             rel = manifest["buckets"].get(str(k))
             if rel is not None:
                 paths.append(os.path.join(self.root, rel))
             for d in deltas.get(str(k), ()):
                 if d.endswith("/delta_shared"):
-                    shared.add(d)  # set: one path may serve many buckets
+                    shared.setdefault(d, set()).add(int(k))
                 else:
                     paths.append(os.path.join(self.root, d))
                 has_delta = True
@@ -278,9 +467,22 @@ class SnapshotMergeSink:
             sdf = self.spark.read.schema(shared_schema).parquet(
                 *[os.path.join(self.root, d) for d in sorted(shared)]
             )
-            parts.append(
-                sdf.filter(F.col(_BUCKET).isin([int(b) for b in buckets])).drop(_BUCKET)
-            )
+            allowed_sets = {frozenset(v) for v in shared.values()}
+            if len(allowed_sets) == 1:
+                # common case: every shared file serves the same subset
+                cond = F.col(_BUCKET).isin(sorted(next(iter(allowed_sets))))
+            else:
+                # mixed referencing sets → per-file condition keyed on
+                # the snapshot dir embedded in the file path (each
+                # shared file lives in snapshots/s<id>/delta_shared)
+                sid = F.regexp_extract(F.input_file_name(), r"(s\d{8})/delta_shared", 1)
+                cond = F.lit(False)
+                for d, allowed in sorted(shared.items()):
+                    d_sid = d.split("/")[1]  # snapshots/<sid>/delta_shared
+                    cond = cond | (
+                        (sid == d_sid) & F.col(_BUCKET).isin(sorted(allowed))
+                    )
+            parts.append(sdf.filter(cond).drop(_BUCKET))
         if not parts:
             return None
         df = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
@@ -292,9 +494,8 @@ class SnapshotMergeSink:
 
     def manifest_at(self, snapshot_id: int) -> dict:
         """Load a historical manifest (time travel; available until
-        expire_snapshots removes it)."""
-        with open(os.path.join(self.root, "manifests", f"m{snapshot_id:08d}.json")) as fh:
-            return json.load(fh)
+        expire_snapshots removes it), folded to its full logical form."""
+        return self._fold_by_name(f"m{snapshot_id:08d}.json")
 
     def read_state(self, as_of_snapshot: int | None = None) -> DataFrame | None:
         """Full state including tombstones and version metadata.
@@ -443,8 +644,11 @@ class SnapshotMergeSink:
         }
         if for_gc:
             return all_dirs
-        committed = {str(b) for b in manifest.get("committed_batches", ())}
-        return {b: rel for b, rel in all_dirs.items() if b in committed}
+        return {
+            b: rel
+            for b, rel in all_dirs.items()
+            if b.lstrip("-").isdigit() and _ledger_contains(manifest, int(b))
+        }
 
     # ------------------------------------------------------------- merging
 
@@ -491,7 +695,7 @@ class SnapshotMergeSink:
         """
         metrics = MergeMetrics(batch_id=batch_id)
         manifest = self.current_manifest()
-        if manifest and batch_id in set(manifest["committed_batches"]):
+        if _ledger_contains(manifest, batch_id):
             metrics.skipped = True
             return metrics
         if self.audit_timestamps and batch_time is None:
@@ -808,31 +1012,49 @@ class SnapshotMergeSink:
             for d in os.listdir(out_path)
             if d.startswith(f"{_BUCKET}=")
         }
+        bucket_updates: dict[str, str] = {}
+        delta_removals: list[str] = []
         for k in sorted(written | set(touched)):
             bucket_dir = os.path.join(out_path, f"{_BUCKET}={k}")
             if os.path.isdir(bucket_dir):
                 buckets[str(k)] = f"{rel_data}/{_BUCKET}={k}"
+                bucket_updates[str(k)] = buckets[str(k)]
             # the COW rewrite folded any delta chain for this bucket
-            deltas.pop(str(k), None)
-        committed = sorted(set(manifest["committed_batches"]) | {batch_id}) if manifest else [batch_id]
+            if deltas.pop(str(k), None) is not None:
+                delta_removals.append(str(k))
+        wm, recent = _ledger_add(manifest, batch_id)
         # change-audit dirs become VISIBLE only via the manifest: the
         # parquet write above happens pre-commit, so a crash before the
         # _CURRENT flip leaves an unreferenced (invisible) dir, never a
         # phantom change row for an uncommitted batch
+        legacy = manifest is not None and "changes" not in manifest
         changes_map = dict(self._changes_map(manifest))
+        changes_updates: dict[str, str] = {}
         if changes_written:  # first-ever batch has no pre-image → no dir
             changes_map[str(batch_id)] = f"changes/batch_id={batch_id}"
+            changes_updates[str(batch_id)] = changes_map[str(batch_id)]
         self._commit(
             {
                 "snapshot_id": snap_id,
-                "committed_batches": committed,
+                "batch_watermark": wm,
+                "recent_batches": recent,
                 "buckets": buckets,
                 "deltas": deltas,
                 "changes": changes_map,
                 "schema": json.dumps(state_schema.jsonValue()),
                 "key_cols": self.key_cols,
                 "n_buckets": self.n_buckets,
-            }
+            },
+            parent=manifest,
+            delta_doc={
+                "bucket_updates": bucket_updates,
+                "delta_removals": delta_removals,
+                "changes_updates": changes_updates,
+            },
+            # schema evolution rewrites every bucket (checkpoint-sized
+            # anyway); a legacy-v1 parent needs its on-disk-scanned
+            # changes map materialized once
+            force_full=evolved or legacy,
         )
         return metrics
 
@@ -942,10 +1164,14 @@ class SnapshotMergeSink:
                 if d.startswith(f"{_BUCKET}=")
             )
         metrics.buckets_touched = len(written)
+        delta_sets: dict[str, list] = {}
+        bucket_updates: dict[str, str] = {}
+        bucket_removals: list[str] = []
+        delta_removals: list[str] = []
         for k in written:
-            deltas.setdefault(str(k), []).append(
-                rel_delta if single else f"{rel_delta}/{_BUCKET}={k}"
-            )
+            chain = deltas.setdefault(str(k), [])
+            chain.append(rel_delta if single else f"{rel_delta}/{_BUCKET}={k}")
+            delta_sets[str(k)] = list(chain)
 
         # -- inline compaction of long chains (before the commit, so the
         # fold and the ledger update land atomically together)
@@ -970,24 +1196,35 @@ class SnapshotMergeSink:
             for k in to_compact:
                 if os.path.isdir(os.path.join(base_path, f"{_BUCKET}={k}")):
                     buckets[str(k)] = f"{rel_base}/{_BUCKET}={k}"
-                else:
-                    buckets.pop(str(k), None)
+                    bucket_updates[str(k)] = buckets[str(k)]
+                elif buckets.pop(str(k), None) is not None:
+                    bucket_removals.append(str(k))
                 deltas.pop(str(k), None)
+                delta_sets.pop(str(k), None)
+                delta_removals.append(str(k))
 
-        committed = (
-            sorted(set(manifest["committed_batches"]) | {batch_id}) if manifest else [batch_id]
-        )
+        wm, recent = _ledger_add(manifest, batch_id)
+        legacy = manifest is not None and "changes" not in manifest
         self._commit(
             {
                 "snapshot_id": snap_id,
-                "committed_batches": committed,
+                "batch_watermark": wm,
+                "recent_batches": recent,
                 "buckets": buckets,
                 "deltas": deltas,
                 "changes": dict(self._changes_map(manifest)),
                 "schema": json.dumps(state_schema.jsonValue()),
                 "key_cols": self.key_cols,
                 "n_buckets": self.n_buckets,
-            }
+            },
+            parent=manifest,
+            delta_doc={
+                "bucket_updates": bucket_updates,
+                "bucket_removals": bucket_removals,
+                "delta_sets": delta_sets,
+                "delta_removals": delta_removals,
+            },
+            force_full=legacy,
         )
         return metrics
 
@@ -1028,14 +1265,16 @@ class SnapshotMergeSink:
         self._commit(
             {
                 "snapshot_id": snap_id,
-                "committed_batches": manifest["committed_batches"],
+                "batch_watermark": manifest["batch_watermark"],
+                "recent_batches": list(manifest.get("recent_batches", ())),
                 "buckets": buckets,
                 "deltas": {},
                 "changes": dict(self._changes_map(manifest)),
                 "schema": json.dumps(state_schema.jsonValue()),
                 "key_cols": self.key_cols,
                 "n_buckets": self.n_buckets,
-            }
+            },
+            force_full=True,  # maintenance rewrite → natural checkpoint
         )
         return {"buckets_compacted": len(to_compact), "delta_refs_folded": n_refs}
 
@@ -1061,12 +1300,37 @@ class SnapshotMergeSink:
             (n for n in os.listdir(mdir) if _MANIFEST_RE.match(n)), reverse=True
         )  # newest first
         keep = set(names[:keep_manifests]) | {current_name}
+        # a kept DELTA manifest folds over ancestors that may fall
+        # outside retention: rewrite each kept delta IN PLACE as a
+        # self-contained checkpoint (atomic replace, same name/id)
+        # BEFORE deleting anything — afterwards every kept manifest
+        # stands alone, so ancestor files and the stale data they pinned
+        # are all collectible.  Single-maintenance-writer assumption, as
+        # before: a reader racing the replace follows _CURRENT and sees
+        # either the delta (parents still on disk) or the checkpoint.
+        for name in sorted(keep):
+            try:
+                raw = self._load_raw(name)
+            except (FileNotFoundError, json.JSONDecodeError):
+                continue
+            if not raw.get("delta"):
+                continue
+            folded = self._fold_by_name(name)
+            doc = {
+                "format": 2,
+                "chain_len": 0,
+                **{k: v for k, v in folded.items() if not k.startswith("_")},
+            }
+            mpath = os.path.join(mdir, name)
+            with open(mpath + ".tmp", "w") as fh:
+                json.dump(doc, fh)
+            os.replace(mpath + ".tmp", mpath)
+            self._fold_cache = (name, {**folded, "chain_len": 0, "_name": name})
         live_snapshots: set[str] = set()
         live_changes: set[str] = set()
         for name in keep:
             try:
-                with open(os.path.join(mdir, name)) as fh:
-                    man = json.load(fh)
+                man = self._fold_by_name(name)
             except (FileNotFoundError, json.JSONDecodeError):
                 continue
             for rel in man["buckets"].values():
@@ -1113,11 +1377,13 @@ class SnapshotMergeSink:
         (truncation is table history, not a reset of exactly-once
         tracking); pass ``batch_id`` to make the truncation replay-safe."""
         manifest = self.current_manifest()
-        committed = set(manifest["committed_batches"]) if manifest else set()
         if batch_id is not None:
-            if batch_id in committed:
+            if _ledger_contains(manifest, batch_id):
                 return
-            committed.add(batch_id)
+            wm, recent = _ledger_add(manifest, batch_id)
+        else:
+            wm = manifest["batch_watermark"] if manifest else -1
+            recent = list(manifest.get("recent_batches", ())) if manifest else []
         schema = (
             manifest["schema"]
             if manifest
@@ -1130,7 +1396,8 @@ class SnapshotMergeSink:
         self._commit(
             {
                 "snapshot_id": (manifest["snapshot_id"] + 1) if manifest else 0,
-                "committed_batches": sorted(committed),
+                "batch_watermark": wm,
+                "recent_batches": list(recent),
                 "buckets": {},
                 "deltas": {},
                 # full refresh also resets the visible change history —
@@ -1139,7 +1406,8 @@ class SnapshotMergeSink:
                 "schema": schema,
                 "key_cols": self.key_cols,
                 "n_buckets": self.n_buckets,
-            }
+            },
+            force_full=True,  # the reset must not be expressed as a delta
         )
 
 

@@ -60,6 +60,7 @@ def csv_feeder(
         # wholetext (one row per file) → slice off the first N lines →
         # from_csv.  Right for header-junk ingest files (the reference's
         # use case); for huge splittable CSVs use skip=0.
+        declared_order: list[str] | None = None
         from pyspark.sql import functions as F
 
         if header:
@@ -97,6 +98,12 @@ def csv_feeder(
                             f"csv header {names} does not match the declared "
                             f"columns {expected}"
                         )
+                    # parse in FILE order (values map positionally) but
+                    # remember the caller's order: the returned frame
+                    # must present columns as DECLARED, or positional
+                    # consumers (toPandas().values, fixed-schema writes)
+                    # silently read reordered columns
+                    declared_order = list(expected)
                     if isinstance(schema, T.StructType):
                         by_name = {f_.name: f_ for f_ in schema.fields}
                         schema = T.StructType([by_name[n] for n in names])
@@ -133,6 +140,10 @@ def csv_feeder(
         ).select("r.*")
         if drop_malformed:
             parsed = parsed.dropna(how="all")
+        if declared_order is not None:
+            # value-to-name mapping followed the file; output column
+            # ORDER follows the caller's declaration
+            parsed = parsed.select(*declared_order)
         return parsed
 
     reader = (

@@ -97,12 +97,20 @@ class KafkaFeedSource(FeedSource):
 
     def decode(self, raw: DataFrame) -> DataFrame:
         """Kafka record → typed change event: value is a JSON-encoded
-        event (from_json with the feed schema; unparseable values
-        surface as all-NULL rows, the corrupt-record quarantine
-        policy of the batch feeders)."""
+        event.  from_json turns unparseable values into all-NULL
+        structs; those are DROPPED here — parity with the batch
+        feeders' DROPMALFORMED means a corrupt message never reaches
+        the MERGE as a phantom all-NULL event nor inflates events_in
+        (a production deployment would tee them to a dead-letter
+        topic before this filter)."""
         out = raw.select(
             F.from_json(F.col("value").cast("string"), self.feed_schema).alias("e")
-        ).select("e.*")
+        )
+        corrupt = F.forall(
+            F.array(*[F.col(f"e.{f_.name}").isNull() for f_ in self.feed_schema.fields]),
+            lambda x: x,
+        )
+        out = out.filter(~corrupt).select("e.*")
         return _with_watermark(out, self.watermark)
 
     def load(self, spark: SparkSession) -> DataFrame:

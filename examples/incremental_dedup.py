@@ -39,10 +39,15 @@ def main() -> None:
         # 1. classify the arriving batch against the index, reading only
         #    the index buckets the batch's hashes land in
         known = index.read_prune_for(docs.select(F.md5("text").alias("text_hash")))
-        if known is not None:
-            out = dd.incremental_exact_dedup(known, docs)
-            n_dup = out.filter("is_duplicate").count()
-            print(f"batch {batch_id}: {docs.count()} docs, {n_dup} duplicates")
+        if known is None:
+            # very first batch: the index table does not exist yet — an
+            # empty index still classifies INTRA-batch repeats
+            known = spark.createDataFrame(
+                [], "text_hash string, canonical_doc_id long"
+            )
+        out = dd.incremental_exact_dedup(known, docs)
+        n_dup = out.filter("is_duplicate").count()
+        print(f"batch {batch_id}: {docs.count()} docs, {n_dup} duplicates")
         # 2. fold the batch's new hashes into the index (exactly-once:
         #    replaying this batch_id is a ledger-skipped no-op)
         index.apply_batch(

@@ -45,6 +45,14 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_spark("chomper-spark-maintain")
     report: dict = {}
     sink = SnapshotMergeSink(spark, args.state_root, n_buckets=args.n_buckets)
+    if sink.current_manifest() is None:
+        # a mistyped --state-root would otherwise crash inside
+        # expire_snapshots (no _CURRENT) after the constructor already
+        # dropped stub snapshots/manifests dirs there
+        print(json.dumps({"error": f"no table at {args.state_root} "
+                          "(never created — check --state-root)"}))
+        spark.stop()
+        raise SystemExit(2)
     if args.compact:
         report["compaction"] = sink.compact()
     report["snapshots"] = sink.expire_snapshots(keep_manifests=args.keep_manifests)

@@ -99,9 +99,14 @@ def test_csv_feeder_header_reordered_to_file_order(spark, tmp_path):
     )
     rows = {r["name"]: r["age"] for r in df.collect()}
     assert rows == {"Frank": "29", "Stacy": "26"}
+    # value-to-name mapping follows the file, but the OUTPUT column
+    # order follows the declaration — positional consumers
+    # (toPandas().values, fixed-schema writes) must see declared order
+    assert df.columns == ["name", "age"]
     # columns list is reordered the same way
     df2 = fd.csv_feeder(spark, str(p), columns=["name", "age"], skip=1, header=True)
     assert {r["name"]: r["age"] for r in df2.collect()} == {"Frank": "29", "Stacy": "26"}
+    assert df2.columns == ["name", "age"]
     bad = tmp_path / "bad_hdr.csv"
     bad.write_text("junk\nage,title\n29,Dr\n")
     with pytest.raises(ValueError, match="does not match"):

@@ -525,11 +525,19 @@ def test_legacy_manifest_change_dirs_gated_by_ledger(spark, tmp_table):
     with open(os.path.join(tmp_table, "_CURRENT")) as fh:
         name = fh.read().strip()
     mpath = os.path.join(tmp_table, "manifests", name)
-    with open(mpath) as fh:
-        man = json.load(fh)
-    del man["changes"]
+    # write a faithful v1-shaped manifest in its place: full maps, the
+    # complete committed-id list, no changes key, no v2 fields
+    man = {k: v for k, v in sink.current_manifest().items() if not k.startswith("_")}
+    man.pop("changes")
+    man["committed_batches"] = sorted(sink.committed_batches())
+    for k in ("format", "chain_len", "batch_watermark", "recent_batches"):
+        man.pop(k, None)
     with open(mpath, "w") as fh:
         json.dump(man, fh)
+    # reopen: a legacy table is encountered by a FRESH sink (the live
+    # instance's fold cache rightly assumes nobody edits manifests
+    # behind its back)
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=2)
     assert sink.read_changes().count() == 1  # committed batch 1 visible
     # plant an uncommitted legacy dir (batch 99 not in the ledger)
     orphan = os.path.join(tmp_table, "changes", "batch_id=99")
@@ -539,3 +547,80 @@ def test_legacy_manifest_change_dirs_gated_by_ledger(spark, tmp_table):
     assert "99" in sink._changes_map(sink.current_manifest(), for_gc=True)
     sink.expire_snapshots(keep_manifests=3)
     assert os.path.exists(orphan)  # GC is conservative on legacy tables
+
+
+def test_commit_metadata_bounded_by_batch_not_history(spark, tmp_table):
+    # the 100x-scale liability fixed in round 4: a years-long stream
+    # commits 10^5+ micro-batches, so NOTHING written per commit may
+    # grow with table history.  Replay a run of tiny batches and check
+    # (a) delta-manifest file size is flat (O(touched buckets), not
+    # O(batches-so-far) and not O(n_buckets)), (b) the ledger stays a
+    # watermark with an EMPTY out-of-order set under contiguous epochs,
+    # (c) checkpoints appear every _CHECKPOINT_EVERY commits, (d) a
+    # fresh sink folds the chain and replay-skip still works.
+    import json
+    import os
+
+    from chomper_spark.operators.merge import _CHECKPOINT_EVERY
+
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=16)
+    n = _CHECKPOINT_EVERY + 5  # cross a checkpoint boundary
+    for i in range(n):
+        sink.apply_batch(feed_df(spark, [ev("I", f"c{i}", 0, i)]), i)
+
+    mdir = os.path.join(tmp_table, "manifests")
+    docs = {}
+    for name in sorted(os.listdir(mdir)):
+        with open(os.path.join(mdir, name)) as fh:
+            docs[name] = (os.path.getsize(os.path.join(mdir, name)), json.load(fh))
+    deltas = [(sz, d) for sz, d in docs.values() if d.get("delta")]
+    fulls = [(sz, d) for sz, d in docs.values() if not d.get("delta")]
+    assert len(fulls) >= 2  # the creation checkpoint + the rollover one
+    assert len(deltas) >= _CHECKPOINT_EVERY
+    # v2 manifests never materialize the full batch-id list
+    for _, d in docs.values():
+        assert "committed_batches" not in d
+        assert d["recent_batches"] == []  # contiguous epochs → empty set
+    # flat delta size: the LAST delta (after n-1 commits of history) is
+    # no bigger than the first-ish one beyond jitter
+    sizes = [sz for sz, _ in deltas]
+    assert max(sizes) < min(sizes) * 1.5 + 200
+    # each delta references exactly the touched bucket (1 tiny batch)
+    for _, d in deltas:
+        assert len(d.get("bucket_updates", {})) <= 1
+    # fresh sink folds chain + ledger correctly across the checkpoint
+    reopened = SnapshotMergeSink(spark, tmp_table)
+    m = reopened.current_manifest()
+    assert m["batch_watermark"] == n - 1 and m["recent_batches"] == []
+    assert reopened.apply_batch(feed_df(spark, [ev("I", "c0", 0, 0)]), 3).skipped
+    assert sorted(r["conv_id"] for r in reopened.read().collect()) == sorted(
+        f"c{i}" for i in range(n)
+    )
+
+
+def test_ledger_watermark_handles_out_of_order_batch_ids(spark, tmp_table):
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=4)
+    for b in (0, 1, 5, 3):
+        sink.apply_batch(feed_df(spark, [ev("I", f"k{b}", 0, b)]), b)
+    m = sink.current_manifest()
+    assert m["batch_watermark"] == 1 and m["recent_batches"] == [3, 5]
+    assert sink.apply_batch(feed_df(spark, [ev("I", "x", 0, 9)]), 5).skipped
+    # filling the gap advances the watermark through the whole prefix
+    sink.apply_batch(feed_df(spark, [ev("I", "k2", 0, 2)]), 2)
+    sink.apply_batch(feed_df(spark, [ev("I", "k4", 0, 4)]), 4)
+    m = sink.current_manifest()
+    assert m["batch_watermark"] == 5 and m["recent_batches"] == []
+    assert sink.committed_batches() == {0, 1, 2, 3, 4, 5}
+
+
+def test_ledger_metadata_constant_over_thousand_batches():
+    # pure-metadata twin of the replay test above: 10^3 contiguous
+    # commits never grow the ledger beyond the watermark int
+    from chomper_spark.operators.merge import _ledger_add, _ledger_contains
+
+    m = None
+    for b in range(1000):
+        wm, recent = _ledger_add(m, b)
+        m = {"batch_watermark": wm, "recent_batches": recent}
+    assert m == {"batch_watermark": 999, "recent_batches": []}
+    assert _ledger_contains(m, 500) and not _ledger_contains(m, 1000)

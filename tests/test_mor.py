@@ -233,7 +233,7 @@ def test_on_demand_compact_folds_all_chains(spark, tmp_path):
     assert_state_equals_oracle(sink.read(), all_ev)
     # idempotent no-op on a compacted table; ledger untouched
     assert sink.compact() == {"buckets_compacted": 0, "delta_refs_folded": 0}
-    assert set(man["committed_batches"]) == {0, 1, 2, 3}
+    assert sink.committed_batches() == {0, 1, 2, 3}
     # the batch ledger still skips replays after compaction
     assert sink.apply_batch(feed_df(spark, all_ev[:2]), 0).skipped
 
@@ -256,3 +256,65 @@ def test_table_properties_come_from_manifest_not_constructor(spark, tmp_path):
     assert maint.read().count() == 12  # every row survived
     assert maint.current_manifest()["n_buckets"] == 4
     assert_state_equals_oracle(maint.read(), evs)
+
+
+def test_shared_delta_read_filters_per_referencing_bucket(spark, tmp_path):
+    # partial-compaction hazard: a shared (delta_layout="single") file
+    # holds rows of buckets {j, k}, but k's chain was folded into a
+    # base and no longer references it.  A multi-bucket read must admit
+    # the shared file's rows ONLY for buckets whose chains reference it
+    # — not lean on the latest-wins reduce to re-hide folded rows.
+    import os
+
+    from pyspark.sql import functions as F
+
+    sink = _mor(spark, tmp_path / "t", mor_compact_threshold=100)
+    # batch 0 writes a shared delta holding rows of 2+ buckets
+    rows = [ev("I", f"c{i}", 0, i) for i in range(12)]
+    sink.apply_batch(feed_df(spark, rows), 0, delta_layout="single")
+    man = sink.current_manifest()
+    ref_buckets = sorted(int(k) for k in man["deltas"])
+    assert len(ref_buckets) >= 2
+    j, k = ref_buckets[0], ref_buckets[1]
+    # simulate k's chain having been folded away: manifest stops
+    # referencing the shared file for k (no base for k either — so any
+    # k-row the read returns can only have leaked from the shared file)
+    pruned = {
+        "buckets": dict(man["buckets"]),
+        "deltas": {kk: list(v) for kk, v in man["deltas"].items() if int(kk) != k},
+        "schema": man["schema"],
+    }
+    got = sink._read_buckets(pruned, [j, k])
+    got_buckets = {
+        r["b"] for r in got.select(sink._bucket_expr().alias("b")).distinct().collect()
+    }
+    assert j in got_buckets and k not in got_buckets
+
+    # mixed referencing sets across TWO shared files exercise the
+    # per-file (input_file_name) branch: batch 1's shared file still
+    # references k, batch 0's does not
+    sink.apply_batch(
+        feed_df(spark, [ev("U", f"c{i}", 0, 100 + i, text="v2") for i in range(12)]),
+        1, delta_layout="single",
+    )
+    man2 = sink.current_manifest()
+    mixed = {
+        "buckets": dict(man2["buckets"]),
+        "deltas": {
+            kk: (list(v) if int(kk) != k else list(v)[1:])  # drop batch-0 ref for k
+            for kk, v in man2["deltas"].items()
+        },
+        "schema": man2["schema"],
+    }
+    got2 = sink._read_buckets(mixed, [j, k])
+    texts = {r["conv_id"]: r["text"] for r in got2.collect()}
+    # k's rows come only from the batch-1 file (text v2); j's reduce
+    # still sees both versions and picks v2 as well
+    assert all(v == "v2" for v in texts.values())
+    assert {r["conv_id"] for r in got2.collect()} == {
+        r["conv_id"]
+        for r in sink.read_state()
+        .withColumn("b", sink._bucket_expr())
+        .filter(F.col("b").isin([j, k]))
+        .collect()
+    }

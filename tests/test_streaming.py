@@ -259,9 +259,15 @@ def test_kafka_source_contract_options_and_decode(spark):
         "I", "c1", 3, "assistant", "hello", "browser"
     )
     assert r["op_ts"] == e["op_ts"]
-    # unparseable value → all-NULL quarantine row, never a crash
-    bad = spark.createDataFrame([(b"not json", b"k")], "value binary, key binary")
-    assert src.decode(bad).collect()[0]["conv_id"] is None
+    # unparseable value → DROPPED (never a phantom all-NULL event into
+    # the MERGE, never an inflated events_in), and never a crash; a good
+    # message in the same micro-batch still decodes
+    bad = spark.createDataFrame(
+        [(b"not json", b"k"), (json.dumps(payload).encode(), b"k")],
+        "value binary, key binary",
+    )
+    kept = src.decode(bad).collect()
+    assert len(kept) == 1 and kept[0]["conv_id"] == "c1"
 
 
 def test_streaming_rejects_delta_layout_on_cow(spark, tmp_path):
