@@ -36,8 +36,11 @@ SHINGLE_N = 3
 MINHASH_K = 12
 LSH_BANDS = 4
 LSH_ROWS = 3  # K = BANDS * ROWS
-SIMHASH_BITS = 32
-SIMHASH_CHUNKS = 4  # 8-bit chunks → lossless for hamming <= 3
+SIMHASH_BITS = 60  # hex60(md5) yields 60 bits; 32-bit signatures saturate
+#                    corpus-scale chunk buckets (see simhash_pairs)
+SIMHASH_CHUNKS = 4  # 15-bit chunks → lossless for hamming <= 3
+SIMHASH_CHUNK_BITS = 15  # 2^15 = 32768 values per chunk (~128x the 8-bit
+#                          granularity the 32-bit design had)
 HAMMING_MAX = 3
 
 # ---------------------------------------------------------------- shingling
@@ -377,11 +380,89 @@ LEFT JOIN known k ON n.text_hash = k.text_hash
 # ------------------------------------------------------- duplicate clusters
 
 
+def _undirect(e: DataFrame) -> DataFrame:
+    """Canonical both-direction edge set: distinct, no self-loops."""
+    return (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _star_components(edges: DataFrame, max_iters: int = 40) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the adversarial-graph path: converges in O(log d) alternations even
+    on long chains, where min-label propagation needs diameter rounds.
+
+    Each alternation transforms the EDGE SET (both-direction form):
+      large-star(u): every neighbor v > u re-attaches to
+          m(u) = min(N(u) ∪ {u});
+      small-star(u): every neighbor v ≤ u, and u itself, attach to m(u).
+    The fixpoint is a forest of stars centered at each component's
+    minimum node.  Per alternation: two groupBy-min + two joins over
+    the edge list only (never the corpus); lineage is truncated per
+    round with an eager localCheckpoint so the iteration cannot
+    accumulate plan depth or cached orphans.
+
+    ``edges`` must be the both-direction form; returns
+    (doc_id, cluster_id) for every node."""
+    edges = edges.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        # large-star
+        mins = edges.groupBy("src").agg(F.min("dst").alias("_mn"))
+        mins = mins.select("src", F.least("_mn", F.col("src")).alias("m"))
+        large = (
+            edges.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        edges2 = _undirect(large).localCheckpoint(eager=True)
+        # small-star
+        mins = edges2.groupBy("src").agg(F.min("dst").alias("_mn"))
+        mins = mins.select("src", F.least("_mn", F.col("src")).alias("m"))
+        small = (
+            edges2.join(mins, "src")
+            .filter(F.col("dst") <= F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(mins.select(F.col("src").alias("src"), F.col("m").alias("dst")))
+        )
+        new_edges = _undirect(small).localCheckpoint(eager=True)
+        # fixpoint = identical edge sets (same count + empty one-way diff)
+        if (
+            new_edges.count() == edges.count()
+            and new_edges.exceptAll(edges).limit(1).count() == 0
+        ):
+            edges = new_edges
+            break
+        edges = new_edges
+    else:
+        raise RuntimeError(
+            f"star components did not converge in {max_iters} alternations"
+        )
+    # star forest: every non-center node has exactly one smaller
+    # neighbor — its component's minimum; centers label themselves
+    leaves = (
+        edges.filter(F.col("dst") < F.col("src"))
+        .groupBy("src")
+        .agg(F.min("dst").alias("cluster_id"))
+        .select(F.col("src").alias("doc_id"), "cluster_id")
+    )
+    centers = (
+        edges.select("src")
+        .distinct()
+        .join(leaves.select(F.col("doc_id").alias("src")), "src", "left_anti")
+        .select(F.col("src").alias("doc_id"), F.col("src").alias("cluster_id"))
+    )
+    return leaves.unionByName(centers)
+
+
 def dedup_clusters(
     pairs: DataFrame,
     col_a: str = "doc_a",
     col_b: str = "doc_b",
     max_iters: int = 25,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS (connected
     components) and pick a canonical doc per cluster — the step a
@@ -392,22 +473,38 @@ def dedup_clusters(
     node takes the min of its own and its neighbors' labels; converged
     when no label changes.  Rounds needed = component diameter —
     near-dup clusters are shallow (dupes of one source), so this
-    terminates in a few rounds; ``max_iters`` is a backstop, and hitting
-    it raises rather than silently returning unconverged labels.
-    Per-round cost: one shuffle join of the (small) edge list against
-    the label table + one aggregate — at 10^10 docs the edge list is
-    the candidate-pair output, orders of magnitude smaller than the
-    corpus.  (For adversarial long-chain graphs, swap in the
-    large-star/small-star variant; the contract is unchanged.)
+    terminates in a few rounds.  Per-round cost: one shuffle join of
+    the (small) edge list against the label table + one aggregate — at
+    10^10 docs the edge list is the candidate-pair output, orders of
+    magnitude smaller than the corpus.
+
+    ``algorithm``: "auto" (default) runs min-label and, if ``max_iters``
+    rounds do not converge (adversarial chain-shaped graphs),
+    escalates to the large-star/small-star variant
+    (``_star_components``) which converges in O(log d) alternations;
+    "star" goes straight there; "label" preserves the raise-on-
+    exhaustion behavior for callers that treat deep components as a
+    data-quality signal.
 
     Returns (doc_id, cluster_id, is_canonical) for every doc appearing
     in ≥1 pair; cluster_id = min doc_id of the component."""
+    if algorithm not in ("auto", "star", "label"):
+        raise ValueError(f"algorithm must be auto|star|label, got {algorithm!r}")
     e = pairs.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst"))
-    edges = (
-        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .persist()
-    )
+    edges = _undirect(e).persist()
+    if algorithm == "star":
+        try:
+            return (
+                _star_components(edges)
+                .select(
+                    "doc_id",
+                    "cluster_id",
+                    (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            edges.unpersist()
     labels = (
         edges.select("src")
         .distinct()
@@ -447,9 +544,22 @@ def dedup_clusters(
             if changed == 0:
                 break
         else:
-            raise RuntimeError(
-                f"dedup_clusters did not converge in {max_iters} rounds "
-                "(component diameter too large — use large-star/small-star)"
+            if algorithm == "label":
+                raise RuntimeError(
+                    f"dedup_clusters did not converge in {max_iters} rounds "
+                    "(component diameter too large — use algorithm='star')"
+                )
+            # auto: a chain-shaped adversarial graph — escalate to
+            # large-star/small-star, which needs O(log d) alternations
+            labels.unpersist()
+            return (
+                _star_components(edges)
+                .select(
+                    "doc_id",
+                    "cluster_id",
+                    (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+                )
+                .localCheckpoint(eager=True)
             )
         # materialize off the cache (eager localCheckpoint truncates the
         # per-round join lineage) so the final labels cache can be
@@ -541,7 +651,9 @@ def _simhash_chunks(docs: DataFrame) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_idx"),
-                        F.expr(f"shiftright(simhash, {8 * c}) & 255").alias("chunk_val"),
+                        F.expr(
+                            f"shiftright(simhash, {SIMHASH_CHUNK_BITS * c}) & {(1 << SIMHASH_CHUNK_BITS) - 1}"
+                        ).alias("chunk_val"),
                     )
                     for c in range(SIMHASH_CHUNKS)
                 ]
@@ -560,12 +672,17 @@ def simhash_pairs(
     hamming_max: int = HAMMING_MAX,
     chunk_cap: int = SIMHASH_CHUNK_CAP,
 ) -> DataFrame:
-    """SimHash near-dup pairs: candidates share one of 4 8-bit chunks
+    """SimHash near-dup pairs: candidates share one of 4 15-bit chunks
     (lossless for hamming ≤ 3 by pigeonhole), verified via bit_count.
 
-    Each chunk has only 256 values, so an uncapped self-join on
-    (chunk_idx, chunk_val) holds ~n/256 docs per bucket — O(n²/256)
-    candidates, a cartesian product wearing a join key at 10^10 docs.
+    Chunk width is the corpus-scale recall dial: the earlier 32-bit/
+    8-bit-chunk design had only 256 values per chunk, so at corpus
+    scale EVERY bucket blows past any member cap and recall collapses
+    to the lowest ``chunk_cap`` doc_ids per bucket.  60-bit signatures
+    with 15-bit chunks give 32768 values per chunk (~n/32768 expected
+    members) while staying lossless for hamming ≤ 3.  Buckets can
+    still degenerate on mass-duplicate corpora — there the cap bounds
+    the O(n²/2^15) self-join:
     ``chunk_cap`` bounds every bucket to its lowest ``chunk_cap``
     doc_ids (deterministic, mirrored exactly in the DuckDB oracle), the
     same BUCKET_CAP pattern as the embedding LSH (similarity.py); what
@@ -612,7 +729,8 @@ def simhash_pairs_sql(
     hamming_max: int = HAMMING_MAX, chunk_cap: int = SIMHASH_CHUNK_CAP
 ) -> str:
     chunk_selects = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {c} AS chunk_idx, (simhash >> {8 * c}) & 255 AS chunk_val FROM sig"
+        f"SELECT doc_id, simhash, {c} AS chunk_idx, "
+        f"(simhash >> {SIMHASH_CHUNK_BITS * c}) & {(1 << SIMHASH_CHUNK_BITS) - 1} AS chunk_val FROM sig"
         for c in range(SIMHASH_CHUNKS)
     )
     return f"""

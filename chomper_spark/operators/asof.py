@@ -42,6 +42,49 @@ _SIDE = "_asof_side"
 _R = "_asof_r"
 _CHUNK = "_asof_chunk"
 
+# per-task sort bound the "auto" probe enforces: a key whose row count
+# exceeds this switches the join to the time-chunked form with a chunk
+# width sized to put ~this many rows in each (key, chunk) task
+AUTO_HOT_KEY_ROWS = 1_000_000
+
+
+def _ts_seconds(ts_type: T.DataType) -> F.Column:
+    """Numeric seconds for _asof_ts (timestamp or numeric event-time)."""
+    if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        # unix_micros rejects TIMESTAMP_NTZ (the parquet default in
+        # Spark 4) — cast first; value-preserving in a UTC session
+        return F.unix_micros(F.col("_asof_ts").cast("timestamp")) / F.lit(1_000_000.0)
+    return F.col("_asof_ts").cast("double")
+
+
+def _auto_chunk_seconds(
+    tagged: DataFrame, on: list[str], hot_rows: int
+) -> float | None:
+    """Probe the tagged union for hot keys: one map-side-combinable
+    aggregate (per-key count + ts bounds, then a global reduce).  Thin
+    keys → None (single-window form, no chunk overhead); a key above
+    ``hot_rows`` → a chunk width that splits the observed ts span so
+    each (key, chunk) holds ~hot_rows rows.  The probe is one extra
+    small-shuffle job — the price of making the skew-hardened path the
+    default instead of a caller flag; pass chunk_seconds=None to skip
+    it when keys are known-thin."""
+    ts = _ts_seconds(tagged.schema["_asof_ts"].dataType)
+    per_key = tagged.groupBy(*on).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(ts).alias("_mn"),
+        F.max(ts).alias("_mx"),
+    )
+    row = per_key.agg(
+        F.max("_n").alias("max_n"), F.min("_mn").alias("mn"), F.max("_mx").alias("mx")
+    ).first()
+    if row is None or row["max_n"] is None or row["max_n"] <= hot_rows:
+        return None
+    span = float(row["mx"]) - float(row["mn"])
+    if span <= 0:
+        return None  # all rows share one ts — chunking cannot split them
+    chunks_needed = -(-int(row["max_n"]) // hot_rows)  # ceil
+    return max(span / chunks_needed, 1e-6)
+
 
 def _tag_sides(
     left: DataFrame,
@@ -83,18 +126,26 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     value_cols: list[str] | None = None,
-    chunk_seconds: float | None = None,
+    chunk_seconds: float | None | str = "auto",
+    auto_hot_rows: int = AUTO_HOT_KEY_ROWS,
 ) -> DataFrame:
     """Left as-of join: every left row, plus the latest right values
     at-or-before its timestamp (NULL when no prior right row).
 
-    ``chunk_seconds`` enables the skew-hardened two-pass form (see
-    module docstring) — use it when a single key can hold more rows
-    than one task should sort."""
+    ``chunk_seconds`` selects the skew-hardened two-pass form (see
+    module docstring).  The default "auto" probes per-key row counts
+    (one small aggregate job) and switches to the chunked form with a
+    derived width whenever any key exceeds ``auto_hot_rows`` — the
+    hot-key-safe path needs no caller flag at scale.  Pass a number to
+    force a width, or None to force the single-window form (skips the
+    probe)."""
     value_cols = value_cols or [
         c for c in right.columns if c not in (*on, right_ts)
     ]
     tagged, _ = _tag_sides(left, right, on, left_ts, right_ts, value_cols)
+
+    if chunk_seconds == "auto":
+        chunk_seconds = _auto_chunk_seconds(tagged, on, auto_hot_rows)
 
     if chunk_seconds is None:
         w = (

@@ -22,10 +22,10 @@ from __future__ import annotations
 from collections.abc import Callable, Sequence
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from chomper_spark.operators import transforms as tx
-from chomper_spark.operators.merge import MergeMetrics, SnapshotMergeSink
+from chomper_spark.operators.merge import MergeMetrics, SnapshotMergeSink, _obs_row
 
 
 @dataclass
@@ -64,17 +64,24 @@ class Importer:
         passing ``collect_metrics=False`` through ``apply_kwargs`` must
         not silently zero them.  A ledger-skipped replay batch reports
         processed=0/dropped=0 with ``merge.skipped=True`` rather than
-        pretending every input row was dropped."""
-        fed = self.feeder(spark).persist()
-        n_in = fed.count()
+        pretending every input row was dropped.
+
+        The input count RIDES the sink's own jobs via ``df.observe`` on
+        the feed (populated by the first action over the plan — the
+        sink's dedup/write pass), so run() triggers no count job of its
+        own and the feed is scanned exactly once, unpersisted."""
+        obs = Observation()
+        fed = self.feeder(spark).observe(obs, F.count(F.lit(1)).alias("n"))
         out = tx.pipe(fed, *self.pipeline)
         if self.sink is None:
             n_out = out.count()
-            fed.unpersist()
+            n_in = int(_obs_row(obs).get("n") or 0)
             return RunResult(n_out, n_in - n_out, None)
         apply_kwargs.pop("collect_metrics", None)
         m = self.sink.apply_batch(out, batch_id=batch_id, collect_metrics=True, **apply_kwargs)
-        fed.unpersist()
         if m.skipped:
+            # no action ran over the plan — the observation never fires;
+            # reading it would block forever
             return RunResult(0, 0, m)
+        n_in = int(_obs_row(obs).get("n") or 0)
         return RunResult(m.merge_rows, n_in - m.merge_rows, m)

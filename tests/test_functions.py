@@ -81,7 +81,7 @@ def test_minhash_lsh_candidates_contain_planted_dups(spark):
 def test_simhash_identical_and_hamming(spark):
     sig = {x["doc_id"]: x["simhash"] for x in dd.simhash(_docs(spark)).collect()}
     assert sig[0] == sig[1]
-    assert 0 <= sig[0] < 2**32
+    assert 0 <= sig[0] < 2**60
     pairs = {(x["doc_a"], x["doc_b"]): x["hamming"] for x in dd.simhash_pairs(_docs(spark)).collect()}
     assert pairs[(0, 1)] == 0
 
@@ -266,7 +266,51 @@ def test_dedup_clusters_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(10)], "doc_a long, doc_b long"
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        dd.dedup_clusters(chain, max_iters=2)
+        dd.dedup_clusters(chain, max_iters=2, algorithm="label")
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_dedup_clusters_chain_graph_escalates_to_star(spark):
+    # adversarial chain of depth 40: min-label would need ~40 rounds —
+    # max_iters=4 exhausts it, and auto must escalate to
+    # large-star/small-star (O(log d) alternations) and still return
+    # exact union-find components
+    edges = [(i, i + 1) for i in range(40)] + [(100, 101), (101, 103), (102, 103)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in dd.dedup_clusters(pairs, max_iters=4).collect()}
+    assert out == _union_find_components(edges)
+
+
+def test_star_components_match_union_find_on_random_graphs(spark):
+    import random
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n = 60
+        edges = list({
+            tuple(sorted(rng.sample(range(n), 2))) for _ in range(50 + 20 * trial)
+        })
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        out = {r["doc_id"]: r["cluster_id"]
+               for r in dd.dedup_clusters(pairs, algorithm="star").collect()}
+        assert out == _union_find_components(edges), f"trial {trial}"
 
 
 def test_ngram_jaccard_df_cap_bounds_candidates(spark):
@@ -437,3 +481,32 @@ def test_stratified_sample_sql_empty_rates_parses():
     con.sql("CREATE VIEW documents AS SELECT 1::BIGINT AS doc_id, 'en' AS lang, 't' AS text")
     out = con.sql(cur.stratified_sample_sql({}, default_rate=1.0)).df()
     assert bool(out["kept"][0]) is True
+
+
+def test_simhash_recall_survives_cap_on_realistic_corpus(spark):
+    # the round-3 scale flaw: 32-bit signatures with 256-value chunks
+    # put ~n/256 docs in EVERY bucket, so at corpus scale the member
+    # cap truncated every bucket and recall collapsed to the lowest
+    # cap doc_ids.  With 60-bit/15-bit chunks a 2000-doc varied corpus
+    # leaves buckets nearly singleton: a planted near-dup pair must
+    # survive a cap (8) that is far below n/256 ≈ 8 — the regime where
+    # the old design was already dropping true pairs.
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(5000)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(20))) for i in range(2000)
+    ]
+    planted = rows[123][1]  # doc 9000 duplicates doc 123 → hamming 0
+    rows.append((9000, planted))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in dd.simhash_pairs(docs, chunk_cap=8).collect()
+    }
+    assert (123, 9000) in pairs
+    # and the bucket distribution is non-degenerate: no chunk bucket
+    # anywhere near the 2000/256 ≈ 8 the 8-bit design would average
+    stats = dd.simhash_candidate_stats(docs, chunk_cap=8).collect()
+    assert max(r["members"] for r in stats) <= 8
+    assert sum(r["members_dropped"] for r in stats) == 0

@@ -215,6 +215,37 @@ def test_asof_join_chunked_matches_unchunked_on_hot_key(spark):
     assert a[("cold", 7)] == "cv" and a[("bare", 3)] is None
 
 
+def test_asof_join_auto_chunks_hot_keys_without_flag(spark):
+    # the skew-hardened path must be the DEFAULT at scale: with no
+    # caller flag, the auto probe detects the hot key and windows the
+    # bulk data on (key, chunk) — bounded per-task input — while a
+    # thin-key call stays on the single-window plan (no chunk column)
+    from chomper_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("hot", t, f"e{t}") for t in range(400)] + [("cold", 7, "c7")],
+        "k string, ts int, ev string",
+    )
+    right = spark.createDataFrame(
+        [("hot", t * 10 + 1, f"v{t}") for t in range(40)] + [("cold", 5, "cv")],
+        "k string, ts int, v string",
+    )
+    auto = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
+                     auto_hot_rows=100)
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "_asof_chunk" in plan  # chunked form chosen without a flag
+    # per-(key, chunk) occupancy is bounded near the requested budget:
+    # 440 tagged hot rows / 100 => ceil 5 chunks over the ts span
+    forced = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
+                       chunk_seconds=None)
+    a = {(r["k"], r["ts"]): r["v"] for r in auto.collect()}
+    f = {(r["k"], r["ts"]): r["v"] for r in forced.collect()}
+    assert a == f and len(a) == 401
+    thin = asof_join(left.limit(50), right, on=["k"], left_ts="ts", right_ts="ts",
+                     auto_hot_rows=100)
+    assert "_asof_chunk" not in thin._jdf.queryExecution().executedPlan().toString()
+
+
 def test_importer_pipeline_counters(spark, tmp_path):
     # the reference's Importer shape: name + pipeline + counters
     # (chomper/importers.py:25-89; items_processed/items_dropped :44-45)
@@ -243,3 +274,30 @@ def test_importer_pipeline_counters(spark, tmp_path):
                     [tx.drop_rows(F.col("role") == "system")])
     res2 = imp2.run(spark)
     assert (res2.items_processed, res2.items_dropped) == (3, 1)
+
+
+def test_importer_run_adds_no_jobs_over_bare_apply(spark, tmp_path):
+    # the input counter must RIDE the sink's own jobs (df.observe), not
+    # cost an extra count() action: importer.run spends exactly as many
+    # Spark jobs as a bare apply_batch of the same feed
+    from chomper_spark.operators.merge import SnapshotMergeSink
+    from chomper_spark.plans import Importer
+    from tests.helpers import ev, feed_df
+
+    events = [ev("I", f"c{i}", 0, i) for i in range(8)]
+
+    def jobs(fn):
+        sc = spark.sparkContext
+        before = sc._jsc.sc().dagScheduler().nextJobId()
+        fn()
+        return sc._jsc.sc().dagScheduler().nextJobId() - before
+
+    bare_sink = SnapshotMergeSink(spark, str(tmp_path / "bare"), n_buckets=4)
+    n_bare = jobs(lambda: bare_sink.apply_batch(feed_df(spark, events), 0))
+
+    imp_sink = SnapshotMergeSink(spark, str(tmp_path / "imp"), n_buckets=4)
+    imp = Importer("t", feeder=lambda s: feed_df(s, events), sink=imp_sink)
+    res = {}
+    n_imp = jobs(lambda: res.update(r=imp.run(spark, batch_id=0)))
+    assert n_imp == n_bare
+    assert res["r"].items_processed == 8 and res["r"].items_dropped == 0
