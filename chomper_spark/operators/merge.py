@@ -64,6 +64,23 @@ from chomper_spark.operators.evolve import align_to_schema, evolve_schema
 
 _BUCKET = "_bucket"
 _MANIFEST_RE = re.compile(r"^m\d{8}\.json$")
+_SNAP_RE = re.compile(r"snapshots/s(\d{8})/")
+
+
+def _schema_for_rel(history: list[dict], rel: str) -> str:
+    """The schema (JSON text) a data file carries, derived from the
+    snapshot id embedded in its path: the newest ``schema_history``
+    entry whose ``from_snapshot`` ≤ the file's snapshot.  No per-file
+    metadata needed — a file always carries the schema that was
+    current when its snapshot was written."""
+    sid = int(_SNAP_RE.search(rel).group(1))
+    cur = history[0]["schema"]
+    for h in history:
+        if h["from_snapshot"] <= sid:
+            cur = h["schema"]
+        else:
+            break
+    return cur
 
 # Commit-metadata bounds (round 4).  A continuous stream commits one
 # snapshot per micro-batch for years — 10^5-10^6 commits over 10^4-10^6
@@ -127,6 +144,11 @@ def _normalize_full(raw: dict) -> dict:
         raw["recent_batches"] = sorted(i for i in ids if i > wm)
     raw.setdefault("deltas", {})
     raw.setdefault("chain_len", 0)
+    # tables from before metadata-only evolution always rewrote every
+    # file on evolution, so all their files carry the current schema
+    raw.setdefault(
+        "schema_history", [{"from_snapshot": 0, "schema": raw["schema"]}]
+    )
     return raw
 
 
@@ -137,6 +159,8 @@ def _apply_manifest_delta(base: dict, d: dict) -> dict:
     for k in ("snapshot_id", "batch_watermark", "recent_batches",
               "schema", "key_cols", "n_buckets", "chain_len"):
         out[k] = d[k]
+    if "schema_history" in d:  # present only on evolution commits
+        out["schema_history"] = d["schema_history"]
     buckets = dict(base.get("buckets", {}))
     buckets.update(d.get("bucket_updates", {}))
     for k in d.get("bucket_removals", ()):
@@ -411,6 +435,22 @@ class SnapshotMergeSink:
         new_full["_name"] = name
         self._fold_cache = (name, new_full)
 
+    def _next_schema_history(
+        self, manifest: dict | None, evolved: bool, snap_id: int, schema_json: str
+    ) -> list[dict]:
+        """schema_history for the next commit: append an entry only on
+        evolution (bounded by the number of evolutions ever, not by
+        commits)."""
+        if manifest is None:
+            return [{"from_snapshot": snap_id, "schema": schema_json}]
+        history = list(
+            manifest.get("schema_history")
+            or [{"from_snapshot": 0, "schema": manifest["schema"]}]
+        )
+        if evolved:
+            history.append({"from_snapshot": snap_id, "schema": schema_json})
+        return history
+
     # ------------------------------------------------------------- reading
 
     def _bucket_expr(self) -> F.Column:
@@ -425,13 +465,21 @@ class SnapshotMergeSink:
 
     def _read_buckets(self, manifest: dict, buckets: list[int]) -> DataFrame | None:
         """Read state rows for the given buckets in ONE parquet scan
-        (plus one more when shared small-batch deltas exist).
+        per live SCHEMA VERSION (plus one more per version when shared
+        small-batch deltas exist) — in steady state exactly one.
 
         A single multi-path relation (not a union of per-bucket reads —
         N separate relations make planning and listing O(N) per batch).
-        The manifest schema is enforced at the scan; every live file
-        matches it exactly because schema evolution forces a full
-        rewrite of all buckets in the same commit (see apply_batch).
+        Schema evolution is METADATA-ONLY (round 4): an ADD COLUMN /
+        type-widen commit touches just its own batch's buckets, so live
+        files may carry an older schema.  Each file's schema is derived
+        from the snapshot id in its path via the manifest's
+        ``schema_history`` (``_schema_for_rel``); files are grouped by
+        version, each group scans with ITS exact schema and is aligned
+        to the current one with vectorized NULL-backfill/casts
+        (``align_to_schema``) before the union.  Compaction rewrites
+        lazily fold old versions away (``compact(upgrade_schema=True)``
+        forces it), so the group count trends back to one.
 
         Shared deltas (``delta_layout="single"``, one file holding many
         buckets' rows with the bucket id as a DATA column) are read
@@ -443,31 +491,48 @@ class SnapshotMergeSink:
         k's rows from it would re-read folded data.  The latest-wins
         reduce would still dedup them against the newer base row, but
         the read should not depend on that."""
-        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+        cur_json = manifest["schema"]
+        schema = T.StructType.fromJson(json.loads(cur_json))
+        history = manifest.get(
+            "schema_history", [{"from_snapshot": 0, "schema": cur_json}]
+        )
+        multi_version = len({h["schema"] for h in history}) > 1
+
+        def rel_schema(rel: str) -> str:
+            return _schema_for_rel(history, rel) if multi_version else cur_json
+
         deltas = manifest.get("deltas", {})
-        paths, has_delta = [], False
+        has_delta = False
+        by_schema: dict[str, list[str]] = {}  # schema json → rel paths
         shared: dict[str, set[int]] = {}  # shared rel path → referencing buckets
         for k in buckets:
             rel = manifest["buckets"].get(str(k))
             if rel is not None:
-                paths.append(os.path.join(self.root, rel))
+                by_schema.setdefault(rel_schema(rel), []).append(rel)
             for d in deltas.get(str(k), ()):
                 if d.endswith("/delta_shared"):
                     shared.setdefault(d, set()).add(int(k))
                 else:
-                    paths.append(os.path.join(self.root, d))
+                    by_schema.setdefault(rel_schema(d), []).append(d)
                 has_delta = True
         parts = []
-        if paths:
-            parts.append(self.spark.read.schema(schema).parquet(*paths))
-        if shared:
+        for sjson, rels in sorted(by_schema.items()):
+            grp = self.spark.read.schema(
+                T.StructType.fromJson(json.loads(sjson))
+            ).parquet(*[os.path.join(self.root, r) for r in rels])
+            parts.append(grp if sjson == cur_json else align_to_schema(grp, schema))
+        shared_by_schema: dict[str, dict[str, set[int]]] = {}
+        for d, refs in shared.items():
+            shared_by_schema.setdefault(rel_schema(d), {})[d] = refs
+        for sjson, grp_shared in sorted(shared_by_schema.items()):
+            file_schema = T.StructType.fromJson(json.loads(sjson))
             shared_schema = T.StructType(
-                schema.fields + [T.StructField(_BUCKET, T.IntegerType(), True)]
+                file_schema.fields + [T.StructField(_BUCKET, T.IntegerType(), True)]
             )
             sdf = self.spark.read.schema(shared_schema).parquet(
-                *[os.path.join(self.root, d) for d in sorted(shared)]
+                *[os.path.join(self.root, d) for d in sorted(grp_shared)]
             )
-            allowed_sets = {frozenset(v) for v in shared.values()}
+            allowed_sets = {frozenset(v) for v in grp_shared.values()}
             if len(allowed_sets) == 1:
                 # common case: every shared file serves the same subset
                 cond = F.col(_BUCKET).isin(sorted(next(iter(allowed_sets))))
@@ -477,15 +542,18 @@ class SnapshotMergeSink:
                 # shared file lives in snapshots/s<id>/delta_shared)
                 sid = F.regexp_extract(F.input_file_name(), r"(s\d{8})/delta_shared", 1)
                 cond = F.lit(False)
-                for d, allowed in sorted(shared.items()):
+                for d, allowed in sorted(grp_shared.items()):
                     d_sid = d.split("/")[1]  # snapshots/<sid>/delta_shared
                     cond = cond | (
                         (sid == d_sid) & F.col(_BUCKET).isin(sorted(allowed))
                     )
-            parts.append(sdf.filter(cond).drop(_BUCKET))
+            flt = sdf.filter(cond).drop(_BUCKET)
+            parts.append(flt if sjson == cur_json else align_to_schema(flt, schema))
         if not parts:
             return None
-        df = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
         if has_delta:
             # merge-on-read reduce: base rows and delta rows carry the
             # applied version; latest (op_ts, batch_seq) per key wins
@@ -772,14 +840,14 @@ class SnapshotMergeSink:
                     "listen_fields / audit_timestamps need the pre-image at "
                     "write time — use write_mode='cow'"
                 )
-            if not evolved:
-                return self._apply_mor(
-                    projected, manifest, batch_id, state_schema, payload_cols,
-                    metrics, collect_metrics, obs_in, obs_merge,
-                    delta_layout=delta_layout,
-                )
-            # schema evolution falls through to the COW full rewrite below
-            # (all buckets touched), which also folds existing delta chains
+            # schema evolution is metadata-only on the MOR path too: the
+            # delta files of this batch carry the evolved schema, older
+            # files align at read via schema_history
+            return self._apply_mor(
+                projected, manifest, batch_id, state_schema, payload_cols,
+                metrics, collect_metrics, obs_in, obs_merge,
+                delta_layout=delta_layout, evolved=evolved,
+            )
 
         if collect_metrics:
             # events_in piggybacks on whatever action consumes the plan
@@ -801,15 +869,10 @@ class SnapshotMergeSink:
         # touches.  This collect also materializes the (cached) dedup and
         # populates the events_in / merge_rows observations for free.
         touched = sorted(r[0] for r in src.select(_BUCKET).distinct().collect())
-        if manifest and evolved:
-            # schema evolution (rare) → rewrite every live bucket (bases
-            # AND delta chains) so all files always carry the current
-            # schema; this keeps the hot path a single exact-schema scan.
-            touched = sorted(
-                set(touched)
-                | {int(k) for k in manifest["buckets"]}
-                | {int(k) for k in manifest.get("deltas", {})}
-            )
+        # schema evolution is metadata-only: the commit records the new
+        # schema in schema_history and touches ONLY this batch's buckets;
+        # files under older schemas are NULL-backfilled/cast at read
+        # (see _read_buckets) and rewritten lazily by compaction.
         metrics.buckets_touched = len(touched)
         if collect_metrics:
             # observations were populated by the collect above
@@ -1033,6 +1096,15 @@ class SnapshotMergeSink:
         if changes_written:  # first-ever batch has no pre-image → no dir
             changes_map[str(batch_id)] = f"changes/batch_id={batch_id}"
             changes_updates[str(batch_id)] = changes_map[str(batch_id)]
+        schema_json = json.dumps(state_schema.jsonValue())
+        history = self._next_schema_history(manifest, evolved, snap_id, schema_json)
+        delta_doc = {
+            "bucket_updates": bucket_updates,
+            "delta_removals": delta_removals,
+            "changes_updates": changes_updates,
+        }
+        if evolved:  # fold must adopt the appended history
+            delta_doc["schema_history"] = history
         self._commit(
             {
                 "snapshot_id": snap_id,
@@ -1041,20 +1113,16 @@ class SnapshotMergeSink:
                 "buckets": buckets,
                 "deltas": deltas,
                 "changes": changes_map,
-                "schema": json.dumps(state_schema.jsonValue()),
+                "schema": schema_json,
+                "schema_history": history,
                 "key_cols": self.key_cols,
                 "n_buckets": self.n_buckets,
             },
             parent=manifest,
-            delta_doc={
-                "bucket_updates": bucket_updates,
-                "delta_removals": delta_removals,
-                "changes_updates": changes_updates,
-            },
-            # schema evolution rewrites every bucket (checkpoint-sized
-            # anyway); a legacy-v1 parent needs its on-disk-scanned
-            # changes map materialized once
-            force_full=evolved or legacy,
+            delta_doc=delta_doc,
+            # a legacy-v1 parent needs its on-disk-scanned changes map
+            # materialized once
+            force_full=legacy,
         )
         return metrics
 
@@ -1070,6 +1138,7 @@ class SnapshotMergeSink:
         obs_in=None,
         obs_merge=None,
         delta_layout: str = "bucketed",
+        evolved: bool = False,
     ) -> MergeMetrics:
         """Merge-on-read apply: append one delta file per touched bucket
         (O(batch) write, no target read), then fold any delta chain that
@@ -1178,11 +1247,15 @@ class SnapshotMergeSink:
         to_compact = [
             int(k) for k, v in deltas.items() if len(v) >= self.mor_compact_threshold
         ]
+        schema_json = json.dumps(state_schema.jsonValue())
+        history = self._next_schema_history(manifest, evolved, snap_id, schema_json)
         if to_compact:
             probe = {
                 "buckets": buckets,
                 "deltas": deltas,
-                "schema": json.dumps(state_schema.jsonValue()),
+                "schema": schema_json,
+                # mixed-schema chains (post-evolution) resolve per file
+                "schema_history": history,
             }
             reduced = self._read_buckets(probe, to_compact)
             rel_base = f"snapshots/s{snap_id:08d}/base"
@@ -1205,6 +1278,14 @@ class SnapshotMergeSink:
 
         wm, recent = _ledger_add(manifest, batch_id)
         legacy = manifest is not None and "changes" not in manifest
+        delta_doc = {
+            "bucket_updates": bucket_updates,
+            "bucket_removals": bucket_removals,
+            "delta_sets": delta_sets,
+            "delta_removals": delta_removals,
+        }
+        if evolved:
+            delta_doc["schema_history"] = history
         self._commit(
             {
                 "snapshot_id": snap_id,
@@ -1213,22 +1294,18 @@ class SnapshotMergeSink:
                 "buckets": buckets,
                 "deltas": deltas,
                 "changes": dict(self._changes_map(manifest)),
-                "schema": json.dumps(state_schema.jsonValue()),
+                "schema": schema_json,
+                "schema_history": history,
                 "key_cols": self.key_cols,
                 "n_buckets": self.n_buckets,
             },
             parent=manifest,
-            delta_doc={
-                "bucket_updates": bucket_updates,
-                "bucket_removals": bucket_removals,
-                "delta_sets": delta_sets,
-                "delta_removals": delta_removals,
-            },
+            delta_doc=delta_doc,
             force_full=legacy,
         )
         return metrics
 
-    def compact(self) -> dict:
+    def compact(self, upgrade_schema: bool = False) -> dict:
         """Fold EVERY delta chain into fresh per-bucket bases, now —
         the on-demand maintenance twin of the threshold-triggered
         inline compaction in ``_apply_mor`` (Iceberg's rewrite_data_files
@@ -1236,14 +1313,28 @@ class SnapshotMergeSink:
         serving-heavy periods: MOR reads then scan one base file per
         bucket with no latest-wins reduce work beyond the scan.
 
+        ``upgrade_schema`` additionally rewrites every bucket whose
+        files predate the newest schema version — the lazy-rewrite
+        completion of metadata-only evolution: after it, all live files
+        carry the current schema and reads are single-scan again.
+
         Commits a new snapshot; a no-op (returns unchanged counts)
-        when no deltas exist.  Safe alongside readers — they follow the
-        atomic ``_CURRENT`` pointer."""
+        when there is nothing to fold.  Safe alongside readers — they
+        follow the atomic ``_CURRENT`` pointer."""
         manifest = self.current_manifest()
-        if manifest is None or not manifest.get("deltas"):
+        if manifest is None:
             return {"buckets_compacted": 0, "delta_refs_folded": 0}
-        deltas = manifest["deltas"]
-        to_compact = sorted(int(k) for k in deltas)
+        deltas = manifest.get("deltas", {})
+        to_compact_set = {int(k) for k in deltas}
+        history = manifest.get("schema_history") or []
+        if upgrade_schema and len({h["schema"] for h in history}) > 1:
+            latest_from = history[-1]["from_snapshot"]
+            for k, rel in manifest["buckets"].items():
+                if int(_SNAP_RE.search(rel).group(1)) < latest_from:
+                    to_compact_set.add(int(k))
+        if not to_compact_set:
+            return {"buckets_compacted": 0, "delta_refs_folded": 0}
+        to_compact = sorted(to_compact_set)
         n_refs = sum(len(v) for v in deltas.values())
         state_schema = T.StructType.fromJson(json.loads(manifest["schema"]))
         reduced = self._read_buckets(manifest, to_compact)
@@ -1262,6 +1353,18 @@ class SnapshotMergeSink:
                 buckets[str(k)] = f"{rel_base}/{_BUCKET}={k}"
             else:
                 buckets.pop(str(k), None)
+        schema_json = json.dumps(state_schema.jsonValue())
+        if upgrade_schema:
+            # every live file now carries the current schema (old-schema
+            # buckets and all delta chains were just rewritten) — the
+            # history collapses, so it cannot grow over years of
+            # evolutions
+            history = [{"from_snapshot": 0, "schema": schema_json}]
+        else:
+            history = list(
+                manifest.get("schema_history")
+                or [{"from_snapshot": 0, "schema": schema_json}]
+            )
         self._commit(
             {
                 "snapshot_id": snap_id,
@@ -1270,7 +1373,8 @@ class SnapshotMergeSink:
                 "buckets": buckets,
                 "deltas": {},
                 "changes": dict(self._changes_map(manifest)),
-                "schema": json.dumps(state_schema.jsonValue()),
+                "schema": schema_json,
+                "schema_history": history,
                 "key_cols": self.key_cols,
                 "n_buckets": self.n_buckets,
             },
@@ -1404,6 +1508,8 @@ class SnapshotMergeSink:
                 # the orphaned dirs are GC'd by expire_snapshots
                 "changes": {},
                 "schema": schema,
+                # no live files → single-version history
+                "schema_history": [{"from_snapshot": 0, "schema": schema}],
                 "key_cols": self.key_cols,
                 "n_buckets": self.n_buckets,
             },

@@ -103,3 +103,50 @@ def test_sink_tolerates_missing_payload_columns(spark, tmp_table):
     sink.apply_batch(b2, 1)
     row = sink.read().collect()[0]
     assert row["text"] == "no tool col" and row["tool"] is None
+
+
+def test_schema_evolution_commit_touches_only_batch_buckets(spark, tmp_path):
+    # metadata-only evolution (round 4): ADD COLUMN must NOT rewrite the
+    # table.  Proof by file listing: every data file of untouched
+    # buckets is byte-identical (same path, same mtime) across the
+    # evolution commit; only the evolving batch's buckets gain files.
+    import os
+
+    from pyspark.sql import functions as F
+
+    from chomper_spark.operators.merge import SnapshotMergeSink
+    from tests.helpers import ev, feed_df
+
+    sink = SnapshotMergeSink(spark, str(tmp_path / "t"), n_buckets=8)
+    sink.apply_batch(feed_df(spark, [ev("I", f"c{i}", 0, i) for i in range(32)]), 0)
+
+    def files():
+        out = {}
+        for root, _, fs in os.walk(str(tmp_path / "t" / "snapshots")):
+            for f in fs:
+                p = os.path.join(root, f)
+                out[p] = os.path.getmtime(p)
+        return out
+
+    before = files()
+    man0 = sink.current_manifest()
+    # one-key batch with a NEW column → touches exactly one bucket
+    b = feed_df(spark, [ev("U", "c0", 0, 99)]).withColumn("extra", F.lit("x"))
+    m = sink.apply_batch(b, 1)
+    assert m.schema_added == ["extra"] and m.buckets_touched == 1
+    after = files()
+    # all pre-existing files survive untouched (carried by reference)
+    for p, mt in before.items():
+        assert p in after and after[p] == mt, f"rewritten: {p}"
+    # the manifest still references old files for untouched buckets
+    man1 = sink.current_manifest()
+    same = [k for k in man0["buckets"] if man0["buckets"][k] == man1["buckets"][k]]
+    assert len(same) == len(man0["buckets"]) - 1
+    assert len(man1["schema_history"]) == 2
+    # reads NULL-backfill the old files and keep values intact
+    rows = {r["conv_id"]: r for r in sink.read().collect()}
+    assert rows["c0"]["extra"] == "x" and rows["c1"]["extra"] is None
+    assert len(rows) == 32
+    # time travel to the pre-evolution snapshot still reads the old schema
+    old = sink.read(as_of_snapshot=man0["snapshot_id"])
+    assert "extra" not in old.columns and old.count() == 32

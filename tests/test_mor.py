@@ -81,7 +81,7 @@ def test_mor_rejects_preimage_modes(spark, tmp_path):
         sink.apply_batch(feed_df(spark, [ev("I", "c1", 0, 1)]), 0, update_only_nulls=True)
 
 
-def test_mor_schema_evolution_falls_back_to_rewrite(spark, tmp_path):
+def test_mor_schema_evolution_is_metadata_only(spark, tmp_path):
     from pyspark.sql import functions as F
 
     sink = _mor(spark, tmp_path / "t", mor_compact_threshold=99)
@@ -91,8 +91,19 @@ def test_mor_schema_evolution_falls_back_to_rewrite(spark, tmp_path):
     assert m.schema_added == ["tool_meta"]
     rows = {r["conv_id"]: r for r in sink.read().collect()}
     assert rows["c2"]["tool_meta"] == "v2" and rows["c1"]["tool_meta"] is None
-    # the rewrite folded every delta chain
-    assert sink.current_manifest().get("deltas", {}) == {}
+    # metadata-only: batch 0's old-schema delta chain was NOT rewritten —
+    # the commit recorded a new schema_history entry instead
+    man = sink.current_manifest()
+    assert man["deltas"]
+    assert len(man["schema_history"]) == 2
+    # lazy completion: upgrade-compaction folds everything to the
+    # current schema and collapses the history
+    rep = sink.compact(upgrade_schema=True)
+    assert rep["buckets_compacted"] >= 1
+    man2 = sink.current_manifest()
+    assert man2["deltas"] == {} and len(man2["schema_history"]) == 1
+    rows2 = {r["conv_id"]: r for r in sink.read().collect()}
+    assert rows2["c2"]["tool_meta"] == "v2" and rows2["c1"]["tool_meta"] is None
 
 
 def test_streaming_apply_in_mor_mode(spark, tmp_path):
