@@ -253,28 +253,75 @@ def http_feeder(
     format: str = "jsonlines",
     schema: T.StructType | str | None = None,
     timeout: int = 30,
+    method: str = "GET",
+    data: bytes | str | None = None,
+    headers: dict[str, str] | None = None,
+    lines: bool = True,
+    max_bytes: int | None = None,
 ):
-    """HTTP source (S10, chomper/readers.py:72-99).
+    """HTTP source (S10, chomper/readers.py:72-99: HttpReader supports
+    any ``method`` + request args and line-streamed or whole-body
+    reads; parity here is ``method``/``data``/``headers`` plus the
+    ``lines`` toggle with INCREMENTAL line iteration — the body is
+    never buffered whole in line mode, matching ``iter_lines``).
 
     Spark has no native HTTP DataSource; like the reference (which
-    streams ``iter_lines`` on the DRIVER), the fetch is driver-side and
-    the parsed rows are parallelized.  Right for small config/seed
-    feeds only — bulk data belongs on s3a://-style storage where the
-    executors scan it in parallel (S11).  Gated behind an import-try:
-    the sandbox has no network, so tests exercise the parse path with
-    a local file:// URL.
+    streams on the DRIVER), the fetch is driver-side and the parsed
+    rows are parallelized.  Right for small config/seed feeds only —
+    bulk data belongs on s3a://-style storage where the executors scan
+    it in parallel (S11).  ``max_bytes`` guards the driver against an
+    unexpectedly huge body (raises instead of OOM).  The sandbox has
+    no network, so tests exercise method/body/line handling with
+    file:// URLs and a local HTTP server on loopback.
     """
     import io
     import json as _json
     import urllib.request
 
-    with urllib.request.urlopen(url, timeout=timeout) as resp:  # noqa: S310
-        body = resp.read().decode("utf-8", errors="replace")
-    if format == "jsonlines":
-        rows = [_json.loads(line) for line in io.StringIO(body) if line.strip()]
-    elif format == "json":
-        doc = _json.loads(body)
-        rows = doc if isinstance(doc, list) else [doc]
-    else:
-        raise ValueError(f"unsupported http format: {format}")
+    if data is not None and isinstance(data, str):
+        data = data.encode()
+    req = urllib.request.Request(
+        url, data=data, headers=dict(headers or {}), method=method.upper()
+    )
+
+    def _iter_lines(resp):
+        read = 0
+        for raw in io.TextIOWrapper(resp, encoding="utf-8", errors="replace"):
+            read += len(raw)
+            if max_bytes is not None and read > max_bytes:
+                raise ValueError(f"http body exceeded max_bytes={max_bytes}")
+            if raw.strip():
+                yield raw.strip()
+
+    with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
+        if format == "jsonlines":
+            if lines:
+                rows = [_json.loads(line) for line in _iter_lines(resp)]
+            else:
+                body = resp.read(max_bytes and max_bytes + 1 or -1)
+                if max_bytes is not None and len(body) > max_bytes:
+                    raise ValueError(f"http body exceeded max_bytes={max_bytes}")
+                rows = [
+                    _json.loads(line)
+                    for line in io.StringIO(body.decode("utf-8", errors="replace"))
+                    if line.strip()
+                ]
+        elif format == "json":
+            body = resp.read(max_bytes and max_bytes + 1 or -1)
+            if max_bytes is not None and len(body) > max_bytes:
+                raise ValueError(f"http body exceeded max_bytes={max_bytes}")
+            doc = _json.loads(body.decode("utf-8", errors="replace"))
+            rows = doc if isinstance(doc, list) else [doc]
+        elif format == "text":
+            # the reference's raw-line mode: one row per non-blank line
+            # (lines=True) or one whole-body row (lines=False)
+            if lines:
+                rows = [{"line": line} for line in _iter_lines(resp)]
+            else:
+                body = resp.read(max_bytes and max_bytes + 1 or -1)
+                if max_bytes is not None and len(body) > max_bytes:
+                    raise ValueError(f"http body exceeded max_bytes={max_bytes}")
+                rows = [{"line": body.decode("utf-8", errors="replace")}]
+        else:
+            raise ValueError(f"unsupported http format: {format}")
     return list_feeder(spark, rows, schema=schema)

@@ -157,3 +157,57 @@ def test_csv_feeder_header_reorder_hits_schema_when_both_given(spark, tmp_path):
         spark, str(p), schema="name string, age string", skip=1, header=True
     )
     assert {r["name"]: r["age"] for r in df2.collect()} == {"Frank": "29"}
+
+
+def test_http_feeder_methods_lines_and_body_guard(spark, tmp_path):
+    # S10 parity with the reference HttpReader (chomper/readers.py:72-99):
+    # any method + request body/headers, line-streamed vs whole-body
+    # reads, and a driver-OOM guard.  A real loopback HTTP server
+    # exercises the network path end-to-end (no jar needed).
+    import http.server
+    import json as _json
+    import threading
+
+    import pytest
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def _reply(self, body: bytes):
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            self._reply(b'{"a": 1}\n\n{"a": 2}\n')
+
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            echo = {"method": "POST", "body": self.rfile.read(n).decode(),
+                    "hdr": self.headers.get("X-Token", "")}
+            self._reply(_json.dumps(echo).encode())
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        # GET jsonlines, incremental line mode; blank lines skipped
+        got = sorted(r["a"] for r in fd.http_feeder(spark, base + "/feed").collect())
+        assert got == [1, 2]
+        # POST with body + header, whole-doc json
+        row = fd.http_feeder(
+            spark, base + "/echo", format="json", method="POST",
+            data='{"x":1}', headers={"X-Token": "t0k"},
+        ).collect()[0]
+        assert (row["method"], row["body"], row["hdr"]) == ("POST", '{"x":1}', "t0k")
+        # raw text modes: per-line rows vs one whole-body row
+        assert fd.http_feeder(spark, base, format="text").count() == 2
+        assert fd.http_feeder(spark, base, format="text", lines=False).count() == 1
+        # the max_bytes guard trips instead of buffering a huge body
+        with pytest.raises(ValueError, match="max_bytes"):
+            fd.http_feeder(spark, base, max_bytes=5).collect()
+    finally:
+        srv.shutdown()
