@@ -491,18 +491,34 @@ def dedup_clusters(
     if algorithm not in ("auto", "star", "label"):
         raise ValueError(f"algorithm must be auto|star|label, got {algorithm!r}")
     e = pairs.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst"))
+    # node set from the RAW pairs: _undirect drops self-loops (a,a), but
+    # the contract is "every doc appearing in ≥1 pair" — a doc whose
+    # only pair is a self-loop is its own singleton cluster
+    nodes = (
+        e.select(F.col("src").alias("doc_id"))
+        .unionByName(e.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+
+    def _finish(labels: DataFrame) -> DataFrame:
+        return (
+            nodes.join(labels, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            )
+            .select(
+                "doc_id",
+                "cluster_id",
+                (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
     edges = _undirect(e).persist()
     if algorithm == "star":
         try:
-            return (
-                _star_components(edges)
-                .select(
-                    "doc_id",
-                    "cluster_id",
-                    (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
-                )
-                .localCheckpoint(eager=True)
-            )
+            return _finish(_star_components(edges))
         finally:
             edges.unpersist()
     labels = (
@@ -552,24 +568,12 @@ def dedup_clusters(
             # auto: a chain-shaped adversarial graph — escalate to
             # large-star/small-star, which needs O(log d) alternations
             labels.unpersist()
-            return (
-                _star_components(edges)
-                .select(
-                    "doc_id",
-                    "cluster_id",
-                    (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
-                )
-                .localCheckpoint(eager=True)
-            )
-        # materialize off the cache (eager localCheckpoint truncates the
-        # per-round join lineage) so the final labels cache can be
-        # released — callers get a self-contained result, and repeated
-        # calls don't accumulate orphaned cached RDDs
-        return labels.select(
-            "doc_id",
-            "cluster_id",
-            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
-        ).localCheckpoint(eager=True)
+            return _finish(_star_components(edges))
+        # materialize off the cache (the eager localCheckpoint inside
+        # _finish truncates the per-round join lineage) so the final
+        # labels cache can be released — callers get a self-contained
+        # result, and repeated calls don't accumulate orphaned caches
+        return _finish(labels)
     finally:
         edges.unpersist()
         labels.unpersist()

@@ -62,28 +62,41 @@ def _auto_chunk_seconds(
 ) -> float | None:
     """Probe the tagged union for hot keys: one map-side-combinable
     aggregate (per-key count + ts bounds, then a global reduce).  Thin
-    keys → None (single-window form, no chunk overhead); a key above
-    ``hot_rows`` → a chunk width that splits the observed ts span so
-    each (key, chunk) holds ~hot_rows rows.  The probe is one extra
-    small-shuffle job — the price of making the skew-hardened path the
-    default instead of a caller flag; pass chunk_seconds=None to skip
-    it when keys are known-thin."""
+    keys → None (single-window form, no chunk overhead).  For each key
+    above ``hot_rows`` the candidate width is that key's OWN span
+    divided into ceil(n/hot_rows) chunks — the key's own time
+    distribution, not the global one: a 2M-row key concentrated in one
+    hour must be split by an hour-scale width even when other keys
+    span years.  The tightest (minimum) hot-key width wins; hot keys
+    whose rows all share one timestamp are unsplittable by time and
+    are ignored (a window cannot help them either way).
+
+    Cost: the probe is one extra job, but Catalyst prunes its scan to
+    just the key + ts columns (the value/struct projections fall away
+    — pinned by a plan test), so it never re-reads payload data.  Pass
+    chunk_seconds=None to skip it when keys are known-thin."""
     ts = _ts_seconds(tagged.schema["_asof_ts"].dataType)
     per_key = tagged.groupBy(*on).agg(
         F.count(F.lit(1)).alias("_n"),
         F.min(ts).alias("_mn"),
         F.max(ts).alias("_mx"),
     )
-    row = per_key.agg(
-        F.max("_n").alias("max_n"), F.min("_mn").alias("mn"), F.max("_mx").alias("mx")
-    ).first()
-    if row is None or row["max_n"] is None or row["max_n"] <= hot_rows:
+    row = (
+        per_key.filter(F.col("_n") > hot_rows)
+        .select(
+            F.min(
+                F.when(
+                    F.col("_mx") > F.col("_mn"),
+                    (F.col("_mx") - F.col("_mn"))
+                    / F.ceil(F.col("_n") / F.lit(float(hot_rows))),
+                )
+            ).alias("w")
+        )
+        .first()
+    )
+    if row is None or row["w"] is None:
         return None
-    span = float(row["mx"]) - float(row["mn"])
-    if span <= 0:
-        return None  # all rows share one ts — chunking cannot split them
-    chunks_needed = -(-int(row["max_n"]) // hot_rows)  # ceil
-    return max(span / chunks_needed, 1e-6)
+    return max(float(row["w"]), 1e-6)
 
 
 def _tag_sides(

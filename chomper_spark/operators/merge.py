@@ -425,11 +425,16 @@ class SnapshotMergeSink:
             }
         else:
             chain_len = 0
+            # overrides AFTER the spread so a chain_len/delta/parent key
+            # in new_full (e.g. a caller passing a folded manifest) can
+            # never leak into a checkpoint
             doc = {
+                **{k: v for k, v in new_full.items() if not k.startswith("_")},
                 "format": 2,
                 "chain_len": 0,
-                **{k: v for k, v in new_full.items() if not k.startswith("_")},
             }
+            doc.pop("delta", None)
+            doc.pop("parent", None)
         name = self._write_manifest(doc)
         new_full["chain_len"] = chain_len
         new_full["_name"] = name
@@ -761,6 +766,11 @@ class SnapshotMergeSink:
         zero; COW's only extra pass is the bucket-pruning collect that
         runs regardless).
         """
+        if batch_id < 0:
+            # the watermark ledger treats every id ≤ watermark as
+            # committed, so a negative id would be silently skipped as
+            # a replay — reject it instead of dropping data
+            raise ValueError(f"batch_id must be >= 0, got {batch_id}")
         metrics = MergeMetrics(batch_id=batch_id)
         manifest = self.current_manifest()
         if _ledger_contains(manifest, batch_id):
@@ -1420,11 +1430,15 @@ class SnapshotMergeSink:
             if not raw.get("delta"):
                 continue
             folded = self._fold_by_name(name)
+            # overrides AFTER the spread: the folded dict carries the
+            # delta's chain_len, which must not leak into a checkpoint
             doc = {
+                **{k: v for k, v in folded.items() if not k.startswith("_")},
                 "format": 2,
                 "chain_len": 0,
-                **{k: v for k, v in folded.items() if not k.startswith("_")},
             }
+            doc.pop("delta", None)
+            doc.pop("parent", None)
             mpath = os.path.join(mdir, name)
             with open(mpath + ".tmp", "w") as fh:
                 json.dump(doc, fh)
@@ -1482,6 +1496,8 @@ class SnapshotMergeSink:
         tracking); pass ``batch_id`` to make the truncation replay-safe."""
         manifest = self.current_manifest()
         if batch_id is not None:
+            if batch_id < 0:
+                raise ValueError(f"batch_id must be >= 0, got {batch_id}")
             if _ledger_contains(manifest, batch_id):
                 return
             wm, recent = _ledger_add(manifest, batch_id)

@@ -285,32 +285,35 @@ def http_feeder(
     )
 
     def _iter_lines(resp):
+        # iterate the raw BYTE stream (body never buffered whole) and
+        # count bytes — not decoded characters — against max_bytes
         read = 0
-        for raw in io.TextIOWrapper(resp, encoding="utf-8", errors="replace"):
-            read += len(raw)
+        for bline in resp:
+            read += len(bline)
             if max_bytes is not None and read > max_bytes:
                 raise ValueError(f"http body exceeded max_bytes={max_bytes}")
-            if raw.strip():
-                yield raw.strip()
+            line = bline.decode("utf-8", errors="replace").strip()
+            if line:
+                yield line
+
+    def _read_body(resp) -> str:
+        body = resp.read() if max_bytes is None else resp.read(max_bytes + 1)
+        if max_bytes is not None and len(body) > max_bytes:
+            raise ValueError(f"http body exceeded max_bytes={max_bytes}")
+        return body.decode("utf-8", errors="replace")
 
     with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
         if format == "jsonlines":
             if lines:
                 rows = [_json.loads(line) for line in _iter_lines(resp)]
             else:
-                body = resp.read(max_bytes and max_bytes + 1 or -1)
-                if max_bytes is not None and len(body) > max_bytes:
-                    raise ValueError(f"http body exceeded max_bytes={max_bytes}")
                 rows = [
                     _json.loads(line)
-                    for line in io.StringIO(body.decode("utf-8", errors="replace"))
+                    for line in io.StringIO(_read_body(resp))
                     if line.strip()
                 ]
         elif format == "json":
-            body = resp.read(max_bytes and max_bytes + 1 or -1)
-            if max_bytes is not None and len(body) > max_bytes:
-                raise ValueError(f"http body exceeded max_bytes={max_bytes}")
-            doc = _json.loads(body.decode("utf-8", errors="replace"))
+            doc = _json.loads(_read_body(resp))
             rows = doc if isinstance(doc, list) else [doc]
         elif format == "text":
             # the reference's raw-line mode: one row per non-blank line
@@ -318,10 +321,7 @@ def http_feeder(
             if lines:
                 rows = [{"line": line} for line in _iter_lines(resp)]
             else:
-                body = resp.read(max_bytes and max_bytes + 1 or -1)
-                if max_bytes is not None and len(body) > max_bytes:
-                    raise ValueError(f"http body exceeded max_bytes={max_bytes}")
-                rows = [{"line": body.decode("utf-8", errors="replace")}]
+                rows = [{"line": _read_body(resp)}]
         else:
             raise ValueError(f"unsupported http format: {format}")
     return list_feeder(spark, rows, schema=schema)

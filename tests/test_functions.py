@@ -510,3 +510,16 @@ def test_simhash_recall_survives_cap_on_realistic_corpus(spark):
     stats = dd.simhash_candidate_stats(docs, chunk_cap=8).collect()
     assert max(r["members"] for r in stats) <= 8
     assert sum(r["members_dropped"] for r in stats) == 0
+
+
+def test_dedup_clusters_keeps_self_loop_only_docs(spark):
+    # review catch: a doc whose only pair is a self-loop (a,a) must
+    # still appear as its own singleton cluster — the contract is
+    # "every doc appearing in >= 1 pair"
+    pairs = spark.createDataFrame(
+        [(1, 2), (7, 7)], "doc_a long, doc_b long"
+    )
+    for alg in ("auto", "star"):
+        out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+               for r in dd.dedup_clusters(pairs, algorithm=alg).collect()}
+        assert out == {1: (1, True), 2: (1, False), 7: (7, True)}, alg

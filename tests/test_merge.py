@@ -624,3 +624,40 @@ def test_ledger_metadata_constant_over_thousand_batches():
         m = {"batch_watermark": wm, "recent_batches": recent}
     assert m == {"batch_watermark": 999, "recent_batches": []}
     assert _ledger_contains(m, 500) and not _ledger_contains(m, 1000)
+
+
+def test_negative_batch_ids_rejected_not_silently_skipped(spark, tmp_table):
+    # review catch: the watermark ledger would treat any id <= watermark
+    # as an already-committed replay — a negative id must raise, never
+    # silently drop the batch
+    import pytest
+
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=2)
+    sink.apply_batch(feed_df(spark, [ev("I", "c1", 0, 1)]), 0)
+    with pytest.raises(ValueError, match="batch_id"):
+        sink.apply_batch(feed_df(spark, [ev("I", "c2", 0, 2)]), -1)
+    with pytest.raises(ValueError, match="batch_id"):
+        sink.truncate(batch_id=-5)
+
+
+def test_expire_inplace_checkpoint_resets_chain_len_on_disk(spark, tmp_table):
+    # review catch: the in-place checkpoint rewrite must not leak the
+    # delta's chain_len (or delta/parent keys) into the full manifest
+    import json
+    import os
+
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=4)
+    for i in range(5):
+        sink.apply_batch(feed_df(spark, [ev("I", f"c{i}", 0, i)]), i)
+    assert sink.current_manifest()["chain_len"] == 4
+    sink.expire_snapshots(keep_manifests=2)
+    name = sink._current_name()
+    with open(os.path.join(tmp_table, "manifests", name)) as fh:
+        doc = json.load(fh)
+    assert doc["chain_len"] == 0
+    assert "delta" not in doc and "parent" not in doc
+    # a fresh process folds the rewritten checkpoint and keeps working
+    re2 = SnapshotMergeSink(spark, tmp_table)
+    assert re2.current_manifest()["chain_len"] == 0
+    re2.apply_batch(feed_df(spark, [ev("I", "cX", 0, 9)]), 5)
+    assert re2.read().count() == 6

@@ -301,3 +301,52 @@ def test_importer_run_adds_no_jobs_over_bare_apply(spark, tmp_path):
     n_imp = jobs(lambda: res.update(r=imp.run(spark, batch_id=0)))
     assert n_imp == n_bare
     assert res["r"].items_processed == 8 and res["r"].items_dropped == 0
+
+
+def test_asof_auto_width_follows_hot_key_own_span(spark):
+    # review catch: the width must derive from the HOT KEY's own time
+    # span — a time-concentrated hot key must still be split even when
+    # another thin key's events span a vastly wider range
+    from chomper_spark.operators.asof import _auto_chunk_seconds, _tag_sides
+
+    left = spark.createDataFrame(
+        # hot key: 300 rows inside [0, 300); thin key: 2 rows spanning 10^9
+        [("hot", t, f"e{t}") for t in range(300)]
+        + [("wide", 0, "w0"), ("wide", 1_000_000_000, "w1")],
+        "k string, ts int, ev string",
+    )
+    right = spark.createDataFrame([("hot", 1, "v")], "k string, ts int, v string")
+    tagged, _ = _tag_sides(left, right, ["k"], "ts", "ts", ["v"])
+    w = _auto_chunk_seconds(tagged, ["k"], hot_rows=100)
+    # 301 tagged hot rows / 100 => 4 chunks over hot's ~300s span: width
+    # ~75s, NOT the ~2.5e8 a global-span derivation would give
+    assert w is not None and w < 300
+    # and per-(key, chunk) occupancy is actually bounded
+    from pyspark.sql import functions as F
+
+    chunks = tagged.filter(F.col("k") == "hot").select(
+        F.floor(F.col("_asof_ts") / F.lit(w)).alias("c")
+    ).groupBy("c").count()
+    assert max(r["count"] for r in chunks.collect()) <= 110
+
+
+def test_asof_auto_probe_scan_prunes_to_key_and_ts(spark):
+    # the probe must never re-read payload columns: its scan prunes to
+    # exactly the join key + timestamp (struct projections fall away)
+    from pyspark.sql import functions as F
+
+    from chomper_spark.operators.asof import _tag_sides, _ts_seconds
+
+    ev_df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    left = ev_df.select("user_id", "ts", "event_type", "value", "props")
+    right = ev_df.select("user_id", F.col("ts").alias("rts"), F.col("value").alias("v"))
+    tagged, _ = _tag_sides(left, right, ["user_id"], "ts", "rts", ["v"])
+    ts = _ts_seconds(tagged.schema["_asof_ts"].dataType)
+    per_key = tagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("_n"), F.min(ts).alias("_mn"), F.max(ts).alias("_mx")
+    )
+    plan = per_key._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            schema_part = line.split("ReadSchema:")[1]
+            assert "value" not in schema_part and "props" not in schema_part
