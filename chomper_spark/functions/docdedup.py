@@ -490,30 +490,34 @@ def dedup_clusters(
     in ≥1 pair; cluster_id = min doc_id of the component."""
     if algorithm not in ("auto", "star", "label"):
         raise ValueError(f"algorithm must be auto|star|label, got {algorithm!r}")
-    e = pairs.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst"))
-    # node set from the RAW pairs: _undirect drops self-loops (a,a), but
-    # the contract is "every doc appearing in ≥1 pair" — a doc whose
-    # only pair is a self-loop is its own singleton cluster
-    nodes = (
-        e.select(F.col("src").alias("doc_id"))
-        .unionByName(e.select(F.col("dst").alias("doc_id")))
+    # persist the projected pairs ONCE: the edge set and the self-loop
+    # check both derive from it, and the caller's pairs plan is
+    # typically an expensive candidate pipeline (MinHash/LSH) that must
+    # not be recomputed per consumer
+    e = pairs.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst")).persist()
+    # _undirect drops self-loops (a,a), but the contract is "every doc
+    # appearing in ≥1 pair" — a doc whose only pair is a self-loop is
+    # its own singleton cluster.  Candidate generators never emit
+    # self-pairs, so the reconciliation join is gated behind a cheap
+    # cached-probe and costs nothing in the common case.
+    selfloops = (
+        e.filter(F.col("src") == F.col("dst"))
+        .select(F.col("src").alias("doc_id"))
         .distinct()
     )
 
     def _finish(labels: DataFrame) -> DataFrame:
-        return (
-            nodes.join(labels, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        out = labels.select("doc_id", "cluster_id")
+        if selfloops.limit(1).count() > 0:  # probe rides the e cache
+            missing = selfloops.join(out, "doc_id", "left_anti").select(
+                "doc_id", F.col("doc_id").alias("cluster_id")
             )
-            .select(
-                "doc_id",
-                "cluster_id",
-                (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
-            )
-            .localCheckpoint(eager=True)
-        )
+            out = out.unionByName(missing)
+        return out.select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        ).localCheckpoint(eager=True)
 
     edges = _undirect(e).persist()
     if algorithm == "star":
@@ -521,6 +525,7 @@ def dedup_clusters(
             return _finish(_star_components(edges))
         finally:
             edges.unpersist()
+            e.unpersist()
     labels = (
         edges.select("src")
         .distinct()
@@ -577,6 +582,7 @@ def dedup_clusters(
     finally:
         edges.unpersist()
         labels.unpersist()
+        e.unpersist()
 
 
 def dedup_clusters_sql(pairs_sql: str, threshold: float | None = None) -> str:
