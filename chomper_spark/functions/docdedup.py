@@ -310,8 +310,11 @@ def incremental_exact_dedup(known: DataFrame, new_docs: DataFrame) -> DataFrame:
 
     Returns one row per new doc: (doc_id, text_hash, canonical_doc_id,
     is_duplicate).  canonical = the existing corpus doc when the hash
-    is known, else the min doc_id within the new batch; is_duplicate is
-    true for corpus hits AND intra-batch non-canonical repeats.
+    is known, else the min doc_id within the new batch; is_duplicate ⇔
+    the doc is not its own canonical — so a re-crawl/replay of the
+    canonical doc itself (same doc_id arriving again) is NOT flagged,
+    while corpus hits by other docs and intra-batch non-canonical
+    repeats are.
     """
     hashed = new_docs.select("doc_id", F.md5("text").alias("text_hash"))
     batch_canon = hashed.groupBy("text_hash").agg(
@@ -328,8 +331,7 @@ def incremental_exact_dedup(known: DataFrame, new_docs: DataFrame) -> DataFrame:
             "text_hash",
             F.coalesce("_known_canon", "_batch_canon").alias("canonical_doc_id"),
             (
-                F.col("_known_canon").isNotNull()
-                | (F.col("doc_id") != F.col("_batch_canon"))
+                F.coalesce("_known_canon", "_batch_canon") != F.col("doc_id")
             ).alias("is_duplicate"),
         )
     )
@@ -370,7 +372,7 @@ new_batch AS (
 bc AS (SELECT text_hash, min(doc_id) AS batch_canon FROM new_batch GROUP BY 1)
 SELECT n.doc_id, n.text_hash,
        coalesce(k.known_canon, b.batch_canon) AS canonical_doc_id,
-       (k.known_canon IS NOT NULL OR n.doc_id <> b.batch_canon) AS is_duplicate
+       (coalesce(k.known_canon, b.batch_canon) <> n.doc_id) AS is_duplicate
 FROM new_batch n
 JOIN bc b ON n.text_hash = b.text_hash
 LEFT JOIN known k ON n.text_hash = k.text_hash

@@ -24,9 +24,12 @@ def main() -> None:
     state = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="cdc_demo_")
     spark = get_spark("cdc-pipeline-example", master="local[8]", shuffle_partitions=16)
 
-    # 1. full-refresh precursor (reference: PostgresTruncator first in pipeline)
+    # 1. full-refresh precursor (reference: PostgresTruncator first in
+    #    pipeline).  No batch_id: this demo truncate is unconditional —
+    #    a replay-safe truncate would reserve a real id (e.g. batch 0)
+    #    ahead of the data batches.
     sink = SnapshotMergeSink(spark, state, n_buckets=32, write_mode="mor")
-    sink.truncate(batch_id=-1)
+    sink.truncate()
 
     # 2. feed → declarative transform pipeline (reference: CsvFeeder →
     #    Dropper → Mapper → Filter → Assigner), composed as ONE lazy plan

@@ -523,3 +523,23 @@ def test_dedup_clusters_keeps_self_loop_only_docs(spark):
         out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
                for r in dd.dedup_clusters(pairs, algorithm=alg).collect()}
         assert out == {1: (1, True), 2: (1, False), 7: (7, True)}, alg
+
+
+def test_incremental_dedup_recrawl_of_canonical_not_flagged(spark):
+    # a replay/re-crawl of the canonical doc itself (same doc_id, hash
+    # already in the index pointing at it) is NOT a duplicate; another
+    # doc with that hash is
+    known = spark.createDataFrame(
+        [("h1", 11)], "text_hash string, canonical_doc_id long"
+    )
+    import pyspark.sql.functions as F
+
+    new = spark.createDataFrame(
+        [(11, "same text"), (42, "same text")], "doc_id long, text string"
+    ).withColumn("text", F.col("text"))
+    # md5("same text") must equal the index hash — rebuild known from it
+    h = new.select(F.md5("text").alias("h")).first()["h"]
+    known = spark.createDataFrame([(h, 11)], "text_hash string, canonical_doc_id long")
+    out = {r["doc_id"]: r["is_duplicate"]
+           for r in dd.incremental_exact_dedup(known, new).collect()}
+    assert out == {11: False, 42: True}
