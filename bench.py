@@ -110,7 +110,8 @@ def _prior_queries(
             hist = json.load(fh)
         for entry in reversed(hist):
             if entry.get("sf") == sf and entry.get("queries"):
-                return dict(entry["queries"]), f"queries_history.json[{entry.get('round', '?')}]"
+                label = entry.get("round") or entry.get("ts") or "?"
+                return dict(entry["queries"]), f"queries_history.json[{label}]"
     except (FileNotFoundError, json.JSONDecodeError):
         pass
     prior = sorted(
