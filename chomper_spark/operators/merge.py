@@ -1405,8 +1405,9 @@ class SnapshotMergeSink:
         import shutil as _shutil
 
         mdir = os.path.join(self.root, "manifests")
-        with open(self._current_path()) as fh:
-            current_name = fh.read().strip()
+        current_name = self._current_name()
+        if current_name is None:  # table never created — nothing to GC
+            return {"snapshots_removed": 0, "manifests_removed": 0, "bytes_freed": 0}
         # only committed manifests participate in retention: a leftover
         # m*.json.tmp from a crashed _commit must neither consume a
         # retention slot nor be loaded as JSON

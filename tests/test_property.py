@@ -136,3 +136,67 @@ def test_nested_path_set_get_roundtrip(spark, path, value, null_struct, arr_len)
     else:
         # untouched: whole row equals the original
         assert out == before
+
+
+_lifecycle_op = st.one_of(
+    st.tuples(
+        st.just("apply"), st.lists(_event, min_size=1, max_size=6), st.booleans()
+    ),
+    st.tuples(st.just("truncate"), st.none(), st.booleans()),
+    st.tuples(st.just("compact"), st.none(), st.booleans()),
+    st.tuples(st.just("expire"), st.none(), st.booleans()),
+    st.tuples(st.just("reopen"), st.none(), st.booleans()),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(_lifecycle_op, min_size=3, max_size=8),
+    mode=st.sampled_from(["cow", "mor"]),
+)
+def test_random_table_lifecycle_matches_model(spark, tmp_path_factory, ops, mode):
+    # model-based lifecycle check for the round-4 manifest machinery:
+    # random interleavings of apply / replayed-apply / truncate /
+    # compact / expire_snapshots / reopen (fresh sink = fresh fold
+    # cache, folding the delta chain from disk) must always read back
+    # as the reference latest-wins state of the events visible since
+    # the last truncate, with replayed batch ids ledger-skipped.
+    root = str(tmp_path_factory.mktemp("life") / "table")
+    sink = SnapshotMergeSink(spark, root, n_buckets=4, write_mode=mode)
+    model_events: list = []  # events visible since the last truncate
+    applied_ids: list = []
+    next_id, seq = 0, 0
+    for kind, payload, flag in ops:
+        if kind == "apply":
+            evs = [
+                ev(op, conv, turn, seq + i, secs=ts, text=f"t{seq + i}")
+                for i, (op, conv, turn, ts) in enumerate(payload)
+            ]
+            seq += len(payload)
+            if flag and applied_ids:
+                # replay of an already-committed id: ledger must skip
+                m = sink.apply_batch(feed_df(spark, evs), applied_ids[0])
+                assert m.skipped
+            else:
+                sink.apply_batch(feed_df(spark, evs), next_id)
+                applied_ids.append(next_id)
+                next_id += 1
+                model_events.extend(evs)
+        elif kind == "truncate":
+            sink.truncate()
+            model_events = []
+        elif kind == "compact":
+            sink.compact(upgrade_schema=flag)
+        elif kind == "expire":
+            sink.expire_snapshots(keep_manifests=2)
+        elif kind == "reopen":
+            sink = SnapshotMergeSink(spark, root, n_buckets=4, write_mode=mode)
+    out = sink.read()
+    if model_events:
+        assert_state_equals_oracle(out, model_events)
+    else:
+        assert out is None or out.count() == 0
