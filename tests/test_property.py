@@ -142,6 +142,9 @@ _lifecycle_op = st.one_of(
     st.tuples(
         st.just("apply"), st.lists(_event, min_size=1, max_size=6), st.booleans()
     ),
+    st.tuples(
+        st.just("evolve"), st.lists(_event, min_size=1, max_size=4), st.booleans()
+    ),
     st.tuples(st.just("truncate"), st.none(), st.booleans()),
     st.tuples(st.just("compact"), st.none(), st.booleans()),
     st.tuples(st.just("expire"), st.none(), st.booleans()),
@@ -171,18 +174,29 @@ def test_random_table_lifecycle_matches_model(spark, tmp_path_factory, ops, mode
     applied_ids: list = []
     next_id, seq = 0, 0
     for kind, payload, flag in ops:
-        if kind == "apply":
+        if kind in ("apply", "evolve"):
             evs = [
                 ev(op, conv, turn, seq + i, secs=ts, text=f"t{seq + i}")
                 for i, (op, conv, turn, ts) in enumerate(payload)
             ]
             seq += len(payload)
+            batch = feed_df(spark, evs)
+            if kind == "evolve":
+                # schema evolution mid-stream: the batch carries an
+                # extra column (metadata-only commit); the model's
+                # events carry the same value — non-evolved events
+                # after it overwrite extra with NULL (full-row image)
+                from pyspark.sql import functions as F
+
+                val = f"x{next_id}"
+                batch = batch.withColumn("extra", F.lit(val))
+                evs = [dict(e, extra=val) for e in evs]
             if flag and applied_ids:
                 # replay of an already-committed id: ledger must skip
-                m = sink.apply_batch(feed_df(spark, evs), applied_ids[0])
+                m = sink.apply_batch(batch, applied_ids[0])
                 assert m.skipped
             else:
-                sink.apply_batch(feed_df(spark, evs), next_id)
+                sink.apply_batch(batch, next_id)
                 applied_ids.append(next_id)
                 next_id += 1
                 model_events.extend(evs)
