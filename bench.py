@@ -110,7 +110,9 @@ def _prior_queries(
             hist = json.load(fh)
         for entry in reversed(hist):
             if entry.get("sf") == sf and entry.get("queries"):
-                label = entry.get("round") or entry.get("ts") or "?"
+                label = entry.get("round")
+                if label is None:
+                    label = entry.get("ts", "?")
                 return dict(entry["queries"]), f"queries_history.json[{label}]"
     except (FileNotFoundError, json.JSONDecodeError):
         pass

@@ -497,21 +497,26 @@ def dedup_clusters(
     # typically an expensive candidate pipeline (MinHash/LSH) that must
     # not be recomputed per consumer
     e = pairs.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst")).persist()
-    # _undirect drops self-loops (a,a), but the contract is "every doc
-    # appearing in ≥1 pair" — a doc whose only pair is a self-loop is
-    # its own singleton cluster.  Candidate generators never emit
-    # self-pairs, so the reconciliation join is gated behind a cheap
-    # cached-probe and costs nothing in the common case.
-    selfloops = (
-        e.filter(F.col("src") == F.col("dst"))
+    # _undirect drops degenerate pairs — self-loops (a,a) and pairs
+    # with a NULL partner — but the contract is "every doc appearing in
+    # ≥1 pair": a doc whose only pairs are degenerate is its own
+    # singleton cluster.  Candidate generators never emit either shape,
+    # so the reconciliation join is gated behind a cheap cached-probe
+    # and costs nothing in the common case.
+    degenerate = (
+        e.filter(F.col("dst").isNull() | (F.col("src") == F.col("dst")))
         .select(F.col("src").alias("doc_id"))
+        .unionByName(
+            e.filter(F.col("src").isNull()).select(F.col("dst").alias("doc_id"))
+        )
+        .filter(F.col("doc_id").isNotNull())
         .distinct()
     )
 
     def _finish(labels: DataFrame) -> DataFrame:
         out = labels.select("doc_id", "cluster_id")
-        if selfloops.limit(1).count() > 0:  # probe rides the e cache
-            missing = selfloops.join(out, "doc_id", "left_anti").select(
+        if degenerate.limit(1).count() > 0:  # probe rides the e cache
+            missing = degenerate.join(out, "doc_id", "left_anti").select(
                 "doc_id", F.col("doc_id").alias("cluster_id")
             )
             out = out.unionByName(missing)

@@ -43,13 +43,18 @@ def main() -> None:
     )
 
     # 3. upsert (reference: PostgresUpserter, per-row SELECT+UPDATE/INSERT)
-    #    → idempotent micro-batched MERGE; the new column evolves the table
+    #    → idempotent micro-batched MERGE; the new column evolves the table.
+    #    Batch ids continue from the table's ledger watermark: truncate
+    #    preserves exactly-once history, so a re-run against the same
+    #    state_dir must use FRESH ids (reused ids are ledger-skipped —
+    #    that is the replay protection working, not a bug).
+    base = (sink.current_manifest() or {}).get("batch_watermark", -1) + 1
     for b in range(4):
         # hash-split so batches don't align with the role pattern above
         batch = feed.filter(F.pmod(F.xxhash64("batch_seq"), F.lit(4)) == b)
-        m = sink.apply_batch(batch, batch_id=b, collect_metrics=True)
+        m = sink.apply_batch(batch, batch_id=base + b, collect_metrics=True)
         print(
-            f"batch {b}: in={m.events_in} merged={m.merge_rows} "
+            f"batch {base + b}: in={m.events_in} merged={m.merge_rows} "
             f"dedup_drops={m.dedup_drops} buckets={m.buckets_touched} "
             f"schema_added={m.schema_added}"
         )

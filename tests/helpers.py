@@ -40,6 +40,18 @@ def assert_state_equals_oracle(engine_df, events, **oracle_kwargs):
     )
     exp = reference_apply(pd.DataFrame(events), **oracle_kwargs)
     got = got[exp.columns.tolist()] if len(exp.columns) else got
+
+    def _norm(df):
+        # engine object columns carry None, the dict-built oracle NaN;
+        # pandas is deprecating their equivalence in assert_frame_equal
+        df = df.copy()
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].where(pd.notna(df[c]), None)
+        return df
+
     pd.testing.assert_frame_equal(
-        got, exp.astype(got.dtypes.to_dict(), errors="ignore"), check_dtype=False
+        _norm(got),
+        _norm(exp.astype(got.dtypes.to_dict(), errors="ignore")),
+        check_dtype=False,
     )

@@ -512,32 +512,31 @@ def test_simhash_recall_survives_cap_on_realistic_corpus(spark):
     assert sum(r["members_dropped"] for r in stats) == 0
 
 
-def test_dedup_clusters_keeps_self_loop_only_docs(spark):
-    # review catch: a doc whose only pair is a self-loop (a,a) must
-    # still appear as its own singleton cluster — the contract is
-    # "every doc appearing in >= 1 pair"
+def test_dedup_clusters_keeps_degenerate_pair_docs(spark):
+    # review catch: docs whose only pairs are degenerate — a self-loop
+    # (a,a) or a NULL partner — must still appear as their own
+    # singleton clusters: the contract is "every doc appearing in >= 1
+    # pair"
     pairs = spark.createDataFrame(
-        [(1, 2), (7, 7)], "doc_a long, doc_b long"
+        [(1, 2), (7, 7), (9, None), (None, 13)], "doc_a long, doc_b long"
     )
     for alg in ("auto", "star"):
         out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
                for r in dd.dedup_clusters(pairs, algorithm=alg).collect()}
-        assert out == {1: (1, True), 2: (1, False), 7: (7, True)}, alg
+        assert out == {1: (1, True), 2: (1, False), 7: (7, True),
+                       9: (9, True), 13: (13, True)}, alg
 
 
 def test_incremental_dedup_recrawl_of_canonical_not_flagged(spark):
     # a replay/re-crawl of the canonical doc itself (same doc_id, hash
     # already in the index pointing at it) is NOT a duplicate; another
     # doc with that hash is
-    known = spark.createDataFrame(
-        [("h1", 11)], "text_hash string, canonical_doc_id long"
-    )
-    import pyspark.sql.functions as F
+    from pyspark.sql import functions as F
 
     new = spark.createDataFrame(
         [(11, "same text"), (42, "same text")], "doc_id long, text string"
-    ).withColumn("text", F.col("text"))
-    # md5("same text") must equal the index hash — rebuild known from it
+    )
+    # the index hash must equal md5("same text") — derive it
     h = new.select(F.md5("text").alias("h")).first()["h"]
     known = spark.createDataFrame([(h, 11)], "text_hash string, canonical_doc_id long")
     out = {r["doc_id"]: r["is_duplicate"]
