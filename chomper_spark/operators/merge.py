@@ -1315,6 +1315,33 @@ class SnapshotMergeSink:
         )
         return metrics
 
+    def describe(self) -> dict:
+        """Operator-facing table summary (metadata only — no data scan):
+        snapshot/ledger position, manifest-chain state, bucket and
+        delta-chain counts, schema-version spread.  The first thing a
+        maintenance runbook checks before compact/expire decisions."""
+        m = self.current_manifest()
+        if m is None:
+            return {"exists": False, "root": self.root}
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        history = m.get("schema_history") or []
+        return {
+            "exists": True,
+            "root": self.root,
+            "snapshot_id": m["snapshot_id"],
+            "batch_watermark": m["batch_watermark"],
+            "out_of_order_batches": len(m.get("recent_batches", ())),
+            "manifest_chain_len": m.get("chain_len", 0),
+            "n_buckets": self.n_buckets,
+            "key_cols": list(self.key_cols),
+            "live_buckets": len(m["buckets"]),
+            "delta_chains": len(m.get("deltas", {})),
+            "delta_refs": sum(len(v) for v in m.get("deltas", {}).values()),
+            "schema_versions_live": len({h["schema"] for h in history} or {m["schema"]}),
+            "columns": [f_.name for f_ in schema.fields],
+            "change_batches_visible": len(self._changes_map(m)),
+        }
+
     def compact(self, upgrade_schema: bool = False) -> dict:
         """Fold EVERY delta chain into fresh per-bucket bases, now —
         the on-demand maintenance twin of the threshold-triggered

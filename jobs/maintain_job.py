@@ -33,6 +33,9 @@ def main(argv: list[str] | None = None) -> None:
                     help="time-travel horizon: snapshots older than the "
                          "newest N manifests are unreachable and GC'd")
     ap.add_argument("--keep-lineage-batches", type=int, default=10_000)
+    ap.add_argument("--describe", action="store_true",
+                    help="print the table summary (metadata only) and exit "
+                         "without compacting or expiring anything")
     ap.add_argument("--n-buckets", type=int, default=256)
     ap.add_argument("--compact", action="store_true",
                     help="fold all MOR delta chains into fresh bases first")
@@ -53,6 +56,10 @@ def main(argv: list[str] | None = None) -> None:
                           "(never created — check --state-root)"}))
         spark.stop()
         raise SystemExit(2)
+    if args.describe:
+        print(json.dumps(sink.describe()))
+        spark.stop()
+        return
     if args.compact:
         report["compaction"] = sink.compact()
     report["snapshots"] = sink.expire_snapshots(keep_manifests=args.keep_manifests)

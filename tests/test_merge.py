@@ -661,3 +661,21 @@ def test_expire_inplace_checkpoint_resets_chain_len_on_disk(spark, tmp_table):
     assert re2.current_manifest()["chain_len"] == 0
     re2.apply_batch(feed_df(spark, [ev("I", "cX", 0, 9)]), 5)
     assert re2.read().count() == 6
+
+
+def test_describe_reports_table_metadata_without_scanning(spark, tmp_table):
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=4, write_mode="mor")
+    assert sink.describe() == {"exists": False, "root": tmp_table}
+    for i in range(3):
+        sink.apply_batch(feed_df(spark, [ev("I", f"c{i}", 0, i)]), i)
+    sc = spark.sparkContext
+    before = sc._jsc.sc().dagScheduler().nextJobId()
+    d = sink.describe()
+    # metadata only: no Spark job ran
+    assert sc._jsc.sc().dagScheduler().nextJobId() == before
+    assert d["exists"] and d["snapshot_id"] == 2
+    assert d["batch_watermark"] == 2 and d["out_of_order_batches"] == 0
+    assert d["n_buckets"] == 4 and d["key_cols"] == ["conv_id", "turn_idx"]
+    assert d["delta_chains"] >= 1 and d["delta_refs"] >= 3
+    assert d["schema_versions_live"] == 1
+    assert "conv_id" in d["columns"] and "_op_ts" in d["columns"]
