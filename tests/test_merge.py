@@ -679,3 +679,49 @@ def test_describe_reports_table_metadata_without_scanning(spark, tmp_table):
     assert d["delta_chains"] >= 1 and d["delta_refs"] >= 3
     assert d["schema_versions_live"] == 1
     assert "conv_id" in d["columns"] and "_op_ts" in d["columns"]
+
+
+def test_crash_after_manifest_write_before_pointer_flip(spark, tmp_table):
+    # the v2-specific crash point: a DELTA manifest file fully written
+    # under the next snapshot id, but _CURRENT never flipped.  The
+    # orphan manifest must be invisible to reads, the retrying batch
+    # must overwrite it under the same id (os.replace) and commit
+    # cleanly, and a FRESH sink must fold the resulting chain with the
+    # retried content — never the orphan's.
+    import json
+    import os
+
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=2)
+    sink.apply_batch(feed_df(spark, [ev("I", "c1", 0, 1)]), 0)
+    man = sink.current_manifest()
+
+    # hand-craft the orphan exactly as _commit would have (snapshot 1,
+    # delta over m00000000) for a batch whose data write "succeeded"
+    # but whose pointer flip was lost — with WRONG content (a bucket
+    # update that never really happened) so leakage is detectable
+    orphan = {
+        "format": 2, "delta": True, "parent": man["_name"], "chain_len": 1,
+        "snapshot_id": 1, "batch_watermark": 1, "recent_batches": [],
+        "schema": man["schema"], "key_cols": man["key_cols"],
+        "n_buckets": man["n_buckets"],
+        "bucket_updates": {"0": "snapshots/s00000099/data/_bucket=0"},
+        "delta_removals": [], "changes_updates": {},
+    }
+    with open(os.path.join(tmp_table, "manifests", "m00000001.json"), "w") as fh:
+        json.dump(orphan, fh)
+
+    # reads see only _CURRENT's chain — batch 1's "data" is invisible,
+    # and the ledger does NOT contain batch 1 (the crash lost it)
+    fresh = SnapshotMergeSink(spark, tmp_table, n_buckets=2)
+    assert {r["conv_id"] for r in fresh.read().collect()} == {"c1"}
+    assert fresh.current_manifest()["batch_watermark"] == 0
+
+    # the retried batch 1 commits under the SAME snapshot id,
+    # overwriting the orphan atomically
+    fresh.apply_batch(feed_df(spark, [ev("I", "c2", 0, 2)]), 1)
+    with open(os.path.join(tmp_table, "manifests", "m00000001.json")) as fh:
+        doc = json.load(fh)
+    assert doc.get("bucket_updates", {}).get("0") != "snapshots/s00000099/data/_bucket=0"
+    reopened = SnapshotMergeSink(spark, tmp_table, n_buckets=2)
+    assert {r["conv_id"] for r in reopened.read().collect()} == {"c1", "c2"}
+    assert reopened.current_manifest()["batch_watermark"] == 1
