@@ -116,9 +116,17 @@ def _prior_queries(
                 return dict(entry["queries"]), f"queries_history.json[{label}]"
     except (FileNotFoundError, json.JSONDecodeError):
         pass
+    # a stray glob match without a numeric round (e.g. BENCH_rX.json)
+    # must not abort regression tracking — keep only parseable names
     prior = sorted(
-        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")),
-        key=lambda p: int(_re.search(r"_r(\d+)", p).group(1)),
+        (
+            p
+            for p in glob.glob(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")
+            )
+            if _re.search(r"_r(\d+)\.json$", p)
+        ),
+        key=lambda p: int(_re.search(r"_r(\d+)\.json$", p).group(1)),
     )
     for p in reversed(prior):
         try:

@@ -16,8 +16,8 @@ Design for scale:
                    groupBy), banding (B bands × R rows), candidates =
                    pairs sharing a band bucket (equi-join on band
                    value), exact Jaccard verified on candidates only.
-  * SimHash      — 32-bit majority-of-token-hash-bits signature; near-
-                   dup candidates via 8-bit chunk banding (pigeonhole:
+  * SimHash      — 60-bit majority-of-token-hash-bits signature; near-
+                   dup candidates via 15-bit chunk banding (pigeonhole:
                    hamming ≤ 3 ⇒ at least one of 4 chunks equal — a
                    lossless filter), hamming verified with bit_count.
 
@@ -621,7 +621,8 @@ FROM reach GROUP BY doc_id
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-doc SimHash: bit p is set iff the majority of token hashes
     have bit p set (term frequency weighted — repeats count).  One
-    explode + one groupBy with 32 conditional sums (map-side combine)."""
+    explode + one groupBy with ``bits`` (60) conditional sums
+    (map-side combine)."""
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     ).withColumn("h", F.expr(hex60_spark("tok")))

@@ -158,7 +158,14 @@ def asof_join(
     tagged, _ = _tag_sides(left, right, on, left_ts, right_ts, value_cols)
 
     if chunk_seconds == "auto":
-        chunk_seconds = _auto_chunk_seconds(tagged, on, auto_hot_rows)
+        # NOTE (since round 4): "auto" is EAGER — the probe runs a small
+        # aggregate job at plan-construction time.  Streaming plans
+        # cannot run first(), and callers that need lazy construction
+        # should pass chunk_seconds=None (single-window) or a number.
+        if left.isStreaming or right.isStreaming:
+            chunk_seconds = None
+        else:
+            chunk_seconds = _auto_chunk_seconds(tagged, on, auto_hot_rows)
 
     if chunk_seconds is None:
         w = (

@@ -102,7 +102,16 @@ class KafkaFeedSource(FeedSource):
         feeders' DROPMALFORMED means a corrupt message never reaches
         the MERGE as a phantom all-NULL event nor inflates events_in
         (a production deployment would tee them to a dead-letter
-        topic before this filter)."""
+        topic before this filter).
+
+        The drop is COUNTED, not silent: a named observation
+        ``kafka_decode`` rides the plan with ``records_in`` /
+        ``corrupt_dropped``, so schema drift on the topic (valid JSON
+        that matches none of the expected fields, e.g. ``{}`` or a
+        renamed-field producer) is distinguishable from an idle topic.
+        Streaming: read it from StreamingQueryProgress
+        ``observedMetrics["kafka_decode"]`` per micro-batch; batch
+        replay: via ``Observation`` semantics on the first action."""
         out = raw.select(
             F.from_json(F.col("value").cast("string"), self.feed_schema).alias("e")
         )
@@ -110,6 +119,19 @@ class KafkaFeedSource(FeedSource):
             F.array(*[F.col(f"e.{f_.name}").isNull() for f_ in self.feed_schema.fields]),
             lambda x: x,
         )
+        metrics = [
+            F.count(F.lit(1)).alias("records_in"),
+            F.sum(corrupt.cast("long")).alias("corrupt_dropped"),
+        ]
+        if raw.isStreaming:
+            out = out.observe("kafka_decode", *metrics)
+        else:
+            # batch replays get a direct handle (Observation values
+            # populate on the first action over the decoded frame)
+            from pyspark.sql import Observation
+
+            self.last_decode_observation = Observation()
+            out = out.observe(self.last_decode_observation, *metrics)
         out = out.filter(~corrupt).select("e.*")
         return _with_watermark(out, self.watermark)
 
@@ -147,6 +169,11 @@ class KafkaWireReplaySource(KafkaFeedSource):
     Use it to replay captured topic dumps offline, and in tests to
     drive the seam end-to-end where no broker exists."""
 
+    # brokers/topic are connection fields of the parent; offline replay
+    # never dials a broker, so they default to a marker value here —
+    # wire_dir is the only input a replay caller must supply.
+    brokers: str = "offline-replay"
+    topic: str = "offline-replay"
     wire_dir: str = ""
     max_files_per_trigger: int = 1
 

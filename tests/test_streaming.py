@@ -268,6 +268,17 @@ def test_kafka_source_contract_options_and_decode(spark):
     )
     kept = src.decode(bad).collect()
     assert len(kept) == 1 and kept[0]["conv_id"] == "c1"
+    # the drop is counted, not silent: schema drift ({} parses but
+    # matches no field) and corruption are distinguishable from an
+    # idle/empty topic via the decode observation
+    drift = spark.createDataFrame(
+        [(b"{}", b"k"), (b"not json", b"k"), (json.dumps(payload).encode(), b"k")],
+        "value binary, key binary",
+    )
+    out2 = src.decode(drift)
+    assert out2.count() == 1
+    m = dict(src.last_decode_observation.get)
+    assert m["records_in"] == 3 and m["corrupt_dropped"] == 2
 
 
 def test_streaming_rejects_delta_layout_on_cow(spark, tmp_path):
