@@ -226,18 +226,19 @@ def _band_cols(k: int, bands: int, rows: int):
     ]
 
 
-def minhash_lsh_pairs(
+def minhash_bands(
     docs: DataFrame,
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
 ) -> DataFrame:
-    """MinHash+LSH near-dup: candidates = pairs agreeing on ≥1 band,
-    verified with exact Jaccard (computed only for candidates — this is
-    the scale path: candidate count ≪ n²)."""
+    """Melt each doc's MinHash signature into LSH band rows
+    (doc_id, band_idx, band_val) — the candidate-generation key AND
+    the row shape of the persistent band index (see
+    ``incremental_neardup``)."""
     sig = minhash_signatures(docs, k)
     banded = sig.select("doc_id", *_band_cols(k, bands, rows))
-    melted = banded.select(
+    return banded.select(
         "doc_id",
         F.explode(
             F.array(
@@ -249,7 +250,23 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bv"),
-    ).select("doc_id", F.col("bv.band_idx").alias("band_idx"), F.col("bv.band_val").alias("band_val"))
+    ).select(
+        "doc_id",
+        F.col("bv.band_idx").alias("band_idx"),
+        F.col("bv.band_val").alias("band_val"),
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """MinHash+LSH near-dup: candidates = pairs agreeing on ≥1 band,
+    verified with exact Jaccard (computed only for candidates — this is
+    the scale path: candidate count ≪ n²)."""
+    melted = minhash_bands(docs, k, bands, rows)
     cand = (
         melted.alias("a")
         .join(melted.alias("b"), ["band_idx", "band_val"])
@@ -376,6 +393,150 @@ SELECT n.doc_id, n.text_hash,
 FROM new_batch n
 JOIN bc b ON n.text_hash = b.text_hash
 LEFT JOIN known k ON n.text_hash = k.text_hash
+"""
+
+
+# ------------------------------------------- incremental NEAR-dup (X40b)
+
+
+def band_index_events(
+    new_docs: DataFrame,
+    batch_seq: int,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """One insert event per (band_idx, band_val, doc_id) of the batch,
+    shaped for a SnapshotMergeSink keyed on those three columns and
+    BUCKETED on (band_idx, band_val) — the persistent MinHash band
+    index.  Maintaining the index through the sink gives band inserts
+    the engine's exactly-once ledger (a replayed batch re-emits the
+    same rows and is skipped), and the band-prefix bucketing means an
+    arriving batch probes only the buckets its own band hashes land in
+    (``read_prune_for`` on the two band columns) — candidate
+    generation is O(batch), never O(corpus).  The incremental-near-dup
+    twin of ``hash_index_events``; mirrors the reference's
+    upsert-by-identifier loop (chomper/contrib/postgres.py:295-393)
+    applied to signatures instead of rows."""
+    return minhash_bands(new_docs, k, bands, rows).select(
+        F.lit("I").alias("op"),
+        F.to_timestamp(F.lit("2026-01-01")).alias("op_ts"),
+        F.lit(batch_seq).cast("long").alias("batch_seq"),
+        "band_idx",
+        "band_val",
+        "doc_id",
+        F.lit(batch_seq).cast("long").alias("added_batch"),
+    )
+
+
+def incremental_neardup(
+    index: DataFrame,
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """Classify a NEW batch of documents for near-duplicates against a
+    persistent MinHash band index — the only near-dup shape that holds
+    on a continuously-ingesting 100 TB store: re-running LSH over the
+    whole corpus per arriving batch is O(corpus); this is O(batch)
+    signatures + a band-join against the (bucketed, prunable) index +
+    exact-Jaccard verification on the candidates only.
+
+    ``index``       — (band_idx, band_val, doc_id) rows of the already-
+                      ingested corpus (maintain via ``band_index_events``
+                      through a SnapshotMergeSink; pass the
+                      ``read_prune_for(batch_bands)`` projection so only
+                      probed buckets are scanned).
+    ``corpus_docs`` — (doc_id, text) for corpus docs; read only to
+                      verify candidates (semi-join pruned to candidate
+                      ids — a point-ish lookup, never a corpus scan).
+
+    Returns (doc_id, dup_of, jaccard): one row per verified near-dup
+    link where ``doc_id`` is a batch doc and ``dup_of`` is either a
+    corpus doc or an earlier (lower-id) doc of the same batch.  A
+    re-crawl of a doc_id already in the corpus never matches itself."""
+    batch_bands = minhash_bands(new_docs, k, bands, rows)
+    cand_corpus = (
+        batch_bands.alias("n")
+        .join(index.alias("i"), ["band_idx", "band_val"])
+        .filter(F.col("n.doc_id") != F.col("i.doc_id"))
+        .select(F.col("n.doc_id").alias("doc_a"), F.col("i.doc_id").alias("doc_b"))
+    )
+    cand_batch = (
+        batch_bands.alias("a")
+        .join(batch_bands.alias("b"), ["band_idx", "band_val"])
+        .filter(F.col("a.doc_id") > F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    cand = cand_corpus.unionByName(cand_batch).distinct()
+    # verify on candidates only: shingle just the docs that appear in a
+    # candidate pair (left_semi prune), never the whole corpus
+    texts = new_docs.select("doc_id", "text").unionByName(
+        corpus_docs.select("doc_id", "text")
+    )
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = shingles(texts.join(ids, "doc_id", "left_semi"))
+    return (
+        _pair_jaccard(sh, pairs_from=cand)
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("doc_b").alias("dup_of"),
+            "jaccard",
+        )
+    )
+
+
+def incremental_neardup_sql(
+    threshold: float = 0.8,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> str:
+    """DuckDB twin: index = band rows of even doc_ids (the ingested
+    corpus), new batch = odd doc_ids — same split convention as
+    ``incremental_exact_dedup_sql``."""
+    mins = ", ".join(f"min(md5(concat('{i}|', shingle))) AS h{i}" for i in range(k))
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(concat_ws('|', {', '.join(f'h{b * rows + r}' for r in range(rows))})) AS band_val "
+        "FROM sig"
+        for b in range(bands)
+    )
+    jac = "floor((common::DOUBLE / (x.n_sh + y.n_sh - common)::DOUBLE) * 1000000.0) / 1000000.0"
+    return f"""
+WITH su AS ({_shingles_sql()}),
+sig AS (SELECT doc_id, {mins} FROM su GROUP BY doc_id),
+bands AS ({band_selects}),
+idx AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+nb AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_a, i.doc_id AS doc_b
+  FROM nb n JOIN idx i
+    ON n.band_idx = i.band_idx AND n.band_val = i.band_val AND n.doc_id <> i.doc_id
+  UNION
+  SELECT DISTINCT a.doc_id, b.doc_id
+  FROM nb a JOIN nb b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id > b.doc_id
+),
+sz AS (SELECT doc_id, count(*) AS n_sh FROM su GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS common
+  FROM cand c
+  JOIN su a ON a.doc_id = c.doc_a
+  JOIN su b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT c.doc_a AS doc_id, c.doc_b AS dup_of, {jac} AS jaccard
+FROM common c JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id
+WHERE {jac} >= {threshold}
 """
 
 

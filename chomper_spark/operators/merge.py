@@ -65,6 +65,16 @@ from chomper_spark.operators.evolve import align_to_schema, evolve_schema
 _BUCKET = "_bucket"
 _MANIFEST_RE = re.compile(r"^m\d{8}\.json$")
 _SNAP_RE = re.compile(r"snapshots/s(\d{8})/")
+_SNAP_DIR_RE = re.compile(r"^s(\d{8})$")
+_COMMIT_RETRIES = 5
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed the same chain position first.  The
+    loser's work (data files under its claimed snapshot dir) is
+    unreferenced garbage; the public entry points (apply_batch,
+    compact, truncate) re-read HEAD and retry against the new parent —
+    raised to callers only after ``_COMMIT_RETRIES`` straight losses."""
 
 
 def _schema_for_rel(history: list[dict], rel: str) -> str:
@@ -144,6 +154,9 @@ def _normalize_full(raw: dict) -> dict:
         raw["recent_batches"] = sorted(i for i in ids if i > wm)
     raw.setdefault("deltas", {})
     raw.setdefault("chain_len", 0)
+    # pre-round-5 tables bucketed on the full key
+    if "key_cols" in raw:
+        raw.setdefault("bucket_cols", list(raw["key_cols"]))
     # tables from before metadata-only evolution always rewrote every
     # file on evolution, so all their files carry the current schema
     raw.setdefault(
@@ -159,6 +172,8 @@ def _apply_manifest_delta(base: dict, d: dict) -> dict:
     for k in ("snapshot_id", "batch_watermark", "recent_batches",
               "schema", "key_cols", "n_buckets", "chain_len"):
         out[k] = d[k]
+    if "bucket_cols" in d:  # absent in pre-round-5 delta manifests
+        out["bucket_cols"] = d["bucket_cols"]
     if "schema_history" in d:  # present only on evolution commits
         out["schema_history"] = d["schema_history"]
     buckets = dict(base.get("buckets", {}))
@@ -260,12 +275,27 @@ class SnapshotMergeSink:
         write_mode: str = "cow",
         mor_compact_threshold: int = 8,
         audit_timestamps: bool = False,
+        bucket_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
         self.key_cols = key_cols or S.KEY_COLS
         self.version_cols = version_cols or S.VERSION_COLS
+        # bucket_cols: the key-column PREFIX/subset rows are physically
+        # bucketed by (default: the full key).  Bucketing on a subset is
+        # merge-correct — every row of a key still lands in one bucket —
+        # and lets probe-side pruning use partial keys: an index table
+        # keyed (band_idx, band_val, doc_id) but bucketed on
+        # (band_idx, band_val) supports read_prune_for() with just the
+        # band columns, so a micro-batch probes only the buckets its
+        # band hashes land in instead of scanning/shuffling the corpus.
+        self.bucket_cols = list(bucket_cols) if bucket_cols else list(self.key_cols)
+        if not set(self.bucket_cols) <= set(self.key_cols):
+            raise ValueError(
+                f"bucket_cols {self.bucket_cols} must be a subset of "
+                f"key_cols {self.key_cols}"
+            )
         # audit_timestamps: E9 .timestamps() (chomper/contrib/sql/
         # exporters.py:110-145, tests/test_sql.py:116-128) — created_at
         # set when a key's state row first materializes, updated_at
@@ -310,6 +340,7 @@ class SnapshotMergeSink:
         if m is not None:
             self.n_buckets = int(m.get("n_buckets", self.n_buckets))
             self.key_cols = list(m.get("key_cols", self.key_cols))
+            self.bucket_cols = list(m.get("bucket_cols", self.key_cols))
 
     # ---------------------------------------------------------- manifest io
 
@@ -317,11 +348,32 @@ class SnapshotMergeSink:
         return os.path.join(self.root, "_CURRENT")
 
     def _current_name(self) -> str | None:
+        """HEAD manifest name.  ``_CURRENT`` is a fast HINT, not the
+        commit point: the commit point is the exclusive-create of the
+        sequence-numbered manifest file itself (see ``_write_manifest``),
+        so after reading the hint we probe FORWARD for higher-numbered
+        manifests — commit ids are contiguous (CAS forces every commit
+        to be parent+1), so the probe walks at most the number of
+        commits since the hint was last flipped (normally 0; >0 only
+        when racing another writer or after a crash between link and
+        flip)."""
         p = self._current_path()
         if not os.path.exists(p):
-            return None
-        with open(p) as fh:
-            return fh.read().strip()
+            # bootstrap race/crash window: m00000000.json linked but
+            # _CURRENT never flipped
+            if os.path.exists(os.path.join(self.root, "manifests", "m00000000.json")):
+                name = "m00000000.json"
+            else:
+                return None
+        else:
+            with open(p) as fh:
+                name = fh.read().strip()
+        sid = int(name[1:9])
+        while os.path.exists(
+            os.path.join(self.root, "manifests", f"m{sid + 1:08d}.json")
+        ):
+            sid += 1
+        return f"m{sid:08d}.json"
 
     def _load_raw(self, name: str) -> dict:
         with open(os.path.join(self.root, "manifests", name)) as fh:
@@ -369,20 +421,72 @@ class SnapshotMergeSink:
         return set(range(m["batch_watermark"] + 1)) | set(m.get("recent_batches", ()))
 
     def _write_manifest(self, doc: dict) -> str:
-        """Write a manifest file then atomically flip the _CURRENT
-        pointer.  The rename is the commit point: state + batch ledger
-        become visible together or not at all (exactly-once,
-        crash-safe)."""
+        """Publish a manifest with a compare-and-swap.
+
+        The manifest's full content is written to a temp file, then
+        ``os.link``ed to its sequence-numbered name — an ATOMIC
+        exclusive-create that carries complete content (no reader can
+        observe a half-written manifest, no two writers can both own
+        one chain position).  That link IS the commit point: state +
+        batch ledger become visible together or not at all.  A second
+        writer racing for the same position gets ``FileExistsError`` →
+        ``CommitConflictError``; the public entry points re-read HEAD
+        and retry against the new parent, so concurrent streaming
+        apply + maintenance compaction can never silently clobber each
+        other's commits (last-wins ``os.replace`` did exactly that
+        before round 5).  The ``_CURRENT`` flip afterwards is only a
+        read hint — ``_current_name`` probes forward past it."""
         name = f"m{doc['snapshot_id']:08d}.json"
         mpath = os.path.join(self.root, "manifests", name)
-        with open(mpath + ".tmp", "w") as fh:
-            json.dump(doc, fh)
-        os.replace(mpath + ".tmp", mpath)
+        fd, tmp = tempfile.mkstemp(dir=os.path.join(self.root, "manifests"),
+                                   suffix=".inflight")
+        try:
+            with os.fdopen(fd, "w") as fh:
+                json.dump(doc, fh)
+            try:
+                os.link(tmp, mpath)
+            except FileExistsError:
+                raise CommitConflictError(
+                    f"manifest {name} already committed by another writer"
+                ) from None
+        finally:
+            os.unlink(tmp)
         fd, tmp = tempfile.mkstemp(dir=self.root)
         with os.fdopen(fd, "w") as fh:
             fh.write(name)
         os.replace(tmp, self._current_path())
         return name
+
+    def _claim_snapshot_dir(self) -> tuple[int, str]:
+        """Claim a UNIQUE snapshot data directory via exclusive mkdir —
+        concurrent writers each write their data under their own claim,
+        so a pre-commit Spark overwrite can never clobber files a
+        racing winner's manifest references.  Ids are claimed above the
+        max existing dir id, so committed dir ids stay monotone with
+        commit order (``_schema_for_rel`` relies on that to map a
+        file's path to its schema epoch); a loser's abandoned claim is
+        unreferenced garbage for ``expire_snapshots``.  The dir id can
+        therefore run AHEAD of the manifest's commit id — they are
+        decoupled on purpose."""
+        sdir = os.path.join(self.root, "snapshots")
+        nxt = (
+            max(
+                (
+                    int(m.group(1))
+                    for d in os.listdir(sdir)
+                    if (m := _SNAP_DIR_RE.match(d))
+                ),
+                default=-1,
+            )
+            + 1
+        )
+        while True:
+            path = os.path.join(sdir, f"s{nxt:08d}")
+            try:
+                os.mkdir(path)
+                return nxt, path
+            except FileExistsError:
+                nxt += 1
 
     def _commit(
         self,
@@ -418,7 +522,7 @@ class SnapshotMergeSink:
                     k: new_full[k]
                     for k in (
                         "snapshot_id", "batch_watermark", "recent_batches",
-                        "schema", "key_cols", "n_buckets",
+                        "schema", "key_cols", "bucket_cols", "n_buckets",
                     )
                 },
                 **delta_doc,
@@ -464,7 +568,7 @@ class SnapshotMergeSink:
         # values would relocate every key when a key column is widened —
         # orphaning/duplicating state.  String form is widen-stable.
         return F.pmod(
-            F.xxhash64(*[F.col(c).cast("string") for c in self.key_cols]),
+            F.xxhash64(*[F.col(c).cast("string") for c in self.bucket_cols]),
             F.lit(self.n_buckets),
         ).cast("int")
 
@@ -725,7 +829,56 @@ class SnapshotMergeSink:
 
     # ------------------------------------------------------------- merging
 
+    def _retry_conflicts(self, op):
+        """Run ``op()`` (which re-reads HEAD itself), retrying on commit
+        CAS conflicts — the loser of a concurrent-writer race recomputes
+        against the winner's manifest, so both effects land (or, for a
+        replayed batch, the ledger re-check inside ``op`` skips it)."""
+        for _ in range(_COMMIT_RETRIES):
+            try:
+                return op()
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(
+            f"lost the commit race {_COMMIT_RETRIES} times in a row on "
+            f"{self.root} — check for a runaway concurrent writer"
+        )
+
     def apply_batch(
+        self,
+        batch: DataFrame,
+        batch_id: int,
+        update_only_nulls: bool = False,
+        insert_missing: bool = True,
+        protected: tuple[str, ...] = (),
+        listen_fields: tuple[str, ...] = (),
+        collect_metrics: bool = True,
+        batch_time=None,
+        emit_change_rows: bool = False,
+        delta_layout: str = "bucketed",
+    ) -> MergeMetrics:
+        """Public apply — see ``_apply_batch_attempt`` for semantics.
+        Wraps one attempt in the commit-conflict retry loop: a batch
+        that loses the CAS race to a concurrent maintenance commit
+        (compaction, truncate) re-reads HEAD and re-applies against the
+        new parent; a batch whose id the winner already committed is
+        skipped by the ledger re-check on the retry pass."""
+        return self._retry_conflicts(
+            lambda: self._apply_batch_attempt(
+                batch,
+                batch_id,
+                update_only_nulls=update_only_nulls,
+                insert_missing=insert_missing,
+                protected=protected,
+                listen_fields=listen_fields,
+                collect_metrics=collect_metrics,
+                batch_time=batch_time,
+                emit_change_rows=emit_change_rows,
+                delta_layout=delta_layout,
+            )
+        )
+
+    def _apply_batch_attempt(
         self,
         batch: DataFrame,
         batch_id: int,
@@ -1055,9 +1208,12 @@ class SnapshotMergeSink:
                 )
                 changes_written = True
 
-        # -- write the new snapshot (only touched buckets)
+        # -- write the new snapshot (only touched buckets) under a
+        # claimed dir; commit id (manifest position) is decoupled —
+        # see _claim_snapshot_dir
         snap_id = (manifest["snapshot_id"] + 1) if manifest else 0
-        rel_data = f"snapshots/s{snap_id:08d}/data"
+        dir_id, _ = self._claim_snapshot_dir()
+        rel_data = f"snapshots/s{dir_id:08d}/data"
         out_path = os.path.join(self.root, rel_data)
         merged = align_to_schema(merged, T.StructType(state_schema.fields + [T.StructField(_BUCKET, T.IntegerType(), False)]))
         if self.compact_on_write:
@@ -1107,7 +1263,9 @@ class SnapshotMergeSink:
             changes_map[str(batch_id)] = f"changes/batch_id={batch_id}"
             changes_updates[str(batch_id)] = changes_map[str(batch_id)]
         schema_json = json.dumps(state_schema.jsonValue())
-        history = self._next_schema_history(manifest, evolved, snap_id, schema_json)
+        # schema history epochs are keyed by DATA-DIR id (what
+        # _schema_for_rel parses out of file paths), not commit id
+        history = self._next_schema_history(manifest, evolved, dir_id, schema_json)
         delta_doc = {
             "bucket_updates": bucket_updates,
             "delta_removals": delta_removals,
@@ -1126,6 +1284,7 @@ class SnapshotMergeSink:
                 "schema": schema_json,
                 "schema_history": history,
                 "key_cols": self.key_cols,
+                "bucket_cols": self.bucket_cols,
                 "n_buckets": self.n_buckets,
             },
             parent=manifest,
@@ -1167,8 +1326,9 @@ class SnapshotMergeSink:
         (see _read_buckets) makes base∪deltas equivalent to the COW
         table at every point — same oracle, same exactly-once ledger."""
         snap_id = (manifest["snapshot_id"] + 1) if manifest else 0
+        dir_id, _ = self._claim_snapshot_dir()
         single = delta_layout == "single"
-        rel_delta = f"snapshots/s{snap_id:08d}/" + ("delta_shared" if single else "delta")
+        rel_delta = f"snapshots/s{dir_id:08d}/" + ("delta_shared" if single else "delta")
         out_path = os.path.join(self.root, rel_delta)
 
         # The write runs with AQE ON in the caller's session, unmodified:
@@ -1258,7 +1418,7 @@ class SnapshotMergeSink:
             int(k) for k, v in deltas.items() if len(v) >= self.mor_compact_threshold
         ]
         schema_json = json.dumps(state_schema.jsonValue())
-        history = self._next_schema_history(manifest, evolved, snap_id, schema_json)
+        history = self._next_schema_history(manifest, evolved, dir_id, schema_json)
         if to_compact:
             probe = {
                 "buckets": buckets,
@@ -1268,7 +1428,7 @@ class SnapshotMergeSink:
                 "schema_history": history,
             }
             reduced = self._read_buckets(probe, to_compact)
-            rel_base = f"snapshots/s{snap_id:08d}/base"
+            rel_base = f"snapshots/s{dir_id:08d}/base"
             base_path = os.path.join(self.root, rel_base)
             folded = reduced.withColumn(_BUCKET, self._bucket_expr())
             if self.compact_on_write:
@@ -1307,6 +1467,7 @@ class SnapshotMergeSink:
                 "schema": schema_json,
                 "schema_history": history,
                 "key_cols": self.key_cols,
+                "bucket_cols": self.bucket_cols,
                 "n_buckets": self.n_buckets,
             },
             parent=manifest,
@@ -1334,6 +1495,7 @@ class SnapshotMergeSink:
             "manifest_chain_len": m.get("chain_len", 0),
             "n_buckets": self.n_buckets,
             "key_cols": list(self.key_cols),
+            "bucket_cols": list(self.bucket_cols),
             "live_buckets": len(m["buckets"]),
             "delta_chains": len(m.get("deltas", {})),
             "delta_refs": sum(len(v) for v in m.get("deltas", {}).values()),
@@ -1343,6 +1505,13 @@ class SnapshotMergeSink:
         }
 
     def compact(self, upgrade_schema: bool = False) -> dict:
+        """Commit-conflict-retrying wrapper over ``_compact_attempt``:
+        a maintenance compaction racing the streaming apply re-reads
+        HEAD (picking up the applied batch's new delta chains) and
+        re-folds — never a silent clobber in either direction."""
+        return self._retry_conflicts(lambda: self._compact_attempt(upgrade_schema))
+
+    def _compact_attempt(self, upgrade_schema: bool = False) -> dict:
         """Fold EVERY delta chain into fresh per-bucket bases, now —
         the on-demand maintenance twin of the threshold-triggered
         inline compaction in ``_apply_mor`` (Iceberg's rewrite_data_files
@@ -1376,7 +1545,8 @@ class SnapshotMergeSink:
         state_schema = T.StructType.fromJson(json.loads(manifest["schema"]))
         reduced = self._read_buckets(manifest, to_compact)
         snap_id = manifest["snapshot_id"] + 1
-        rel_base = f"snapshots/s{snap_id:08d}/base"
+        dir_id, _ = self._claim_snapshot_dir()
+        rel_base = f"snapshots/s{dir_id:08d}/base"
         base_path = os.path.join(self.root, rel_base)
         folded = reduced.withColumn(_BUCKET, self._bucket_expr())
         if self.compact_on_write:
@@ -1413,6 +1583,7 @@ class SnapshotMergeSink:
                 "schema": schema_json,
                 "schema_history": history,
                 "key_cols": self.key_cols,
+                "bucket_cols": self.bucket_cols,
                 "n_buckets": self.n_buckets,
             },
             force_full=True,  # maintenance rewrite → natural checkpoint
@@ -1498,14 +1669,54 @@ class SnapshotMergeSink:
 
         sdir = os.path.join(self.root, "snapshots")
         stats = {"snapshots_removed": 0, "manifests_removed": 0, "bytes_freed": 0}
+        # a concurrent writer's CLAIMED-but-uncommitted dir always has a
+        # higher id than anything a committed manifest references
+        # (_claim_snapshot_dir claims above the max existing id) — those
+        # are protected while RECENT (age guard), so GC can run
+        # alongside a live writer; an abandoned claim becomes
+        # collectible once stale or once later commits reference higher
+        # dirs.  Dirs at-or-below the kept max are plain unreferenced
+        # garbage regardless of age.
+        import time as _time
+
+        max_live = max(
+            (
+                int(m.group(1))
+                for d in live_snapshots
+                if (m := _SNAP_DIR_RE.match(d))
+            ),
+            default=-1,
+        )
         for d in os.listdir(sdir):
-            if d not in live_snapshots:
-                stats["bytes_freed"] += _rm_sized(os.path.join(sdir, d))
-                stats["snapshots_removed"] += 1
+            if d in live_snapshots:
+                continue
+            full = os.path.join(sdir, d)
+            dm = _SNAP_DIR_RE.match(d)
+            if dm is not None and int(dm.group(1)) > max_live:
+                try:
+                    if _time.time() - os.path.getmtime(full) <= 3600:
+                        continue  # possibly a live writer's claim
+                except OSError:
+                    continue
+            stats["bytes_freed"] += _rm_sized(full)
+            stats["snapshots_removed"] += 1
         for name in names:
             if name not in keep:
                 os.remove(os.path.join(mdir, name))
                 stats["manifests_removed"] += 1
+        # crash debris from _write_manifest (content temp linked-or-not);
+        # an AGE guard keeps GC from unlinking a concurrent writer's
+        # temp in the instant between its write and its link
+        import time as _time
+
+        for f in os.listdir(mdir):
+            fp = os.path.join(mdir, f)
+            try:
+                stale = _time.time() - os.path.getmtime(fp) > 3600
+            except OSError:
+                continue
+            if f.endswith(".inflight") and stale:
+                os.remove(fp)
         # change-audit dirs not referenced by any retained manifest
         # (crash debris or pre-truncate history) are garbage too
         cdir = os.path.join(self.root, "changes")
@@ -1516,6 +1727,10 @@ class SnapshotMergeSink:
         return stats
 
     def truncate(self, batch_id: int | None = None) -> None:
+        """Commit-conflict-retrying wrapper (see ``apply_batch``)."""
+        return self._retry_conflicts(lambda: self._truncate_attempt(batch_id))
+
+    def _truncate_attempt(self, batch_id: int | None = None) -> None:
         """TRUNCATE (E4 PostgresTruncator, chomper/contrib/postgres.py:262-292;
         E10 sql Truncator, chomper/contrib/sql/exporters.py:325-333):
         atomically flip to an empty snapshot — the full-refresh precursor
@@ -1555,6 +1770,7 @@ class SnapshotMergeSink:
                 # no live files → single-version history
                 "schema_history": [{"from_snapshot": 0, "schema": schema}],
                 "key_cols": self.key_cols,
+                "bucket_cols": self.bucket_cols,
                 "n_buckets": self.n_buckets,
             },
             force_full=True,  # the reset must not be expressed as a delta

@@ -244,6 +244,71 @@ def test_incremental_exact_dedup_against_engine_index(spark, tmp_path):
     }
 
 
+def test_incremental_neardup_against_engine_band_index(spark, tmp_path):
+    # the persistent MinHash band index lives in the MERGE engine, keyed
+    # (band_idx, band_val, doc_id) but BUCKETED on the band prefix so an
+    # arriving batch probes only its own buckets; replays are ledger-
+    # skipped and classification is O(batch) + the candidate verify
+    from chomper_spark.operators.merge import SnapshotMergeSink
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [(10, base), (12, "completely different words about spark engines")],
+        "doc_id long, text string",
+    )
+    sink = SnapshotMergeSink(
+        spark, str(tmp_path / "bidx"), n_buckets=4,
+        key_cols=["band_idx", "band_val", "doc_id"],
+        bucket_cols=["band_idx", "band_val"],
+    )
+    sink.apply_batch(dd.band_index_events(corpus, 0), 0, collect_metrics=False)
+    # replaying the same batch is a no-op (exactly-once ledger on the
+    # index table itself)
+    n_before = sink.read().count()
+    m = sink.apply_batch(dd.band_index_events(corpus, 0), 0, collect_metrics=False)
+    assert m.skipped and sink.read().count() == n_before
+    # batch: 31 is a near-dup of corpus 10 (one token changed), 33 an
+    # exact intra-batch dup of 31, 35 unrelated; 10 re-crawled under its
+    # own id must NOT match itself
+    new_docs = spark.createDataFrame(
+        [
+            (31, base + " extra"),
+            (33, base + " extra"),
+            (35, "nothing like anything else in this tiny corpus here"),
+            (10, base),
+        ],
+        "doc_id long, text string",
+    )
+    probe = dd.minhash_bands(new_docs).select("band_idx", "band_val")
+    index = sink.read_prune_for(probe).select("band_idx", "band_val", "doc_id")
+    out = {(r["doc_id"], r["dup_of"]): r["jaccard"]
+           for r in dd.incremental_neardup(index, new_docs, corpus).collect()}
+    assert (31, 10) in out and out[(31, 10)] < 1.0
+    assert out.get((33, 31)) == 1.0
+    assert (10, 10) not in out  # re-crawl of same id never self-matches
+    assert not any(a == 35 for a, _ in out)
+    # classification is idempotent: same batch, same index → same links
+    out2 = {(r["doc_id"], r["dup_of"])
+            for r in dd.incremental_neardup(index, new_docs, corpus).collect()}
+    assert out2 == set(out)
+    # band-prefix bucketing is a recorded table property, adopted on
+    # reopen (a maintenance job must never re-hash the index)
+    reopened = SnapshotMergeSink(spark, str(tmp_path / "bidx"))
+    assert reopened.bucket_cols == ["band_idx", "band_val"]
+    assert reopened.key_cols == ["band_idx", "band_val", "doc_id"]
+
+
+def test_bucket_cols_must_be_key_subset(spark, tmp_path):
+    import pytest
+
+    from chomper_spark.operators.merge import SnapshotMergeSink
+
+    with pytest.raises(ValueError, match="subset"):
+        SnapshotMergeSink(
+            spark, str(tmp_path / "bad"), key_cols=["a", "b"], bucket_cols=["c"]
+        )
+
+
 def test_dedup_clusters_connected_components(spark):
     # chain 1-2-3-4 plus pair 10-11 plus isolated pair member ordering:
     # clusters = min-id components; canonical = the min member

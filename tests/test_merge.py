@@ -412,11 +412,14 @@ def test_crashed_commit_leftovers_do_not_break_gc_or_reads(spark, tmp_table):
         sink.apply_batch(feed_df(spark, [ev("I", f"c{i}", 0, i)]), batch_id=i)
     before = sorted(r["conv_id"] for r in sink.read().collect())
 
-    # crash debris
+    # crash debris; the high-id orphan dir is backdated past the GC age
+    # guard (a FRESH high-id dir is protected as a possible live
+    # writer's claim — see expire_snapshots)
     orphan = os.path.join(tmp_table, "snapshots", "s00000099", "data")
     os.makedirs(orphan)
     with open(os.path.join(orphan, "part-junk.parquet"), "w") as fh:
         fh.write("not parquet")
+    os.utime(os.path.join(tmp_table, "snapshots", "s00000099"), (1, 1))
     with open(os.path.join(tmp_table, "manifests", "m00000099.json.tmp"), "w") as fh:
         fh.write('{"snapshot_id": 99, "committed')  # truncated JSON
 
@@ -681,47 +684,116 @@ def test_describe_reports_table_metadata_without_scanning(spark, tmp_table):
     assert "conv_id" in d["columns"] and "_op_ts" in d["columns"]
 
 
-def test_crash_after_manifest_write_before_pointer_flip(spark, tmp_table):
-    # the v2-specific crash point: a DELTA manifest file fully written
-    # under the next snapshot id, but _CURRENT never flipped.  The
-    # orphan manifest must be invisible to reads, the retrying batch
-    # must overwrite it under the same id (os.replace) and commit
-    # cleanly, and a FRESH sink must fold the resulting chain with the
-    # retried content — never the orphan's.
-    import json
+def test_crash_after_manifest_link_before_pointer_flip(spark, tmp_table):
+    # the v3 crash point: since round 5 the COMMIT POINT is the atomic
+    # exclusive link of the sequence-numbered manifest (the CAS); the
+    # _CURRENT flip after it is only a read hint.  A crash between link
+    # and flip therefore leaves a COMMITTED batch: readers probe
+    # forward past the stale hint, the ledger includes the batch, and
+    # a replay of it is skipped — exactly-once holds on both sides of
+    # the crash point.  (A crash BEFORE the link leaves nothing: the
+    # content temp is unlinked debris and the batch replays cleanly —
+    # no torn state is representable because the link carries full
+    # content or does not exist.)
     import os
 
     sink = SnapshotMergeSink(spark, tmp_table, n_buckets=2)
     sink.apply_batch(feed_df(spark, [ev("I", "c1", 0, 1)]), 0)
-    man = sink.current_manifest()
+    sink.apply_batch(feed_df(spark, [ev("I", "c2", 0, 2)]), 1)
+    # simulate the lost pointer flip: rewind _CURRENT to the previous
+    # manifest (the batch-1 commit's link survived the "crash")
+    with open(os.path.join(tmp_table, "_CURRENT"), "w") as fh:
+        fh.write("m00000000.json")
 
-    # hand-craft the orphan exactly as _commit would have (snapshot 1,
-    # delta over m00000000) for a batch whose data write "succeeded"
-    # but whose pointer flip was lost — with WRONG content (a bucket
-    # update that never really happened) so leakage is detectable
-    orphan = {
-        "format": 2, "delta": True, "parent": man["_name"], "chain_len": 1,
-        "snapshot_id": 1, "batch_watermark": 1, "recent_batches": [],
-        "schema": man["schema"], "key_cols": man["key_cols"],
-        "n_buckets": man["n_buckets"],
-        "bucket_updates": {"0": "snapshots/s00000099/data/_bucket=0"},
-        "delta_removals": [], "changes_updates": {},
-    }
-    with open(os.path.join(tmp_table, "manifests", "m00000001.json"), "w") as fh:
-        json.dump(orphan, fh)
-
-    # reads see only _CURRENT's chain — batch 1's "data" is invisible,
-    # and the ledger does NOT contain batch 1 (the crash lost it)
     fresh = SnapshotMergeSink(spark, tmp_table, n_buckets=2)
-    assert {r["conv_id"] for r in fresh.read().collect()} == {"c1"}
-    assert fresh.current_manifest()["batch_watermark"] == 0
-
-    # the retried batch 1 commits under the SAME snapshot id,
-    # overwriting the orphan atomically
-    fresh.apply_batch(feed_df(spark, [ev("I", "c2", 0, 2)]), 1)
-    with open(os.path.join(tmp_table, "manifests", "m00000001.json")) as fh:
-        doc = json.load(fh)
-    assert doc.get("bucket_updates", {}).get("0") != "snapshots/s00000099/data/_bucket=0"
+    # probe-forward finds the linked commit: batch 1 is visible...
+    assert {r["conv_id"] for r in fresh.read().collect()} == {"c1", "c2"}
+    assert fresh.current_manifest()["batch_watermark"] == 1
+    # ...and replaying it is a ledger no-op, never a double-apply
+    assert fresh.apply_batch(feed_df(spark, [ev("I", "c2", 0, 2)]), 1).skipped
+    # the next real batch parents onto the probed HEAD, not the hint
+    fresh.apply_batch(feed_df(spark, [ev("I", "c3", 0, 3)]), 2)
     reopened = SnapshotMergeSink(spark, tmp_table, n_buckets=2)
-    assert {r["conv_id"] for r in reopened.read().collect()} == {"c1", "c2"}
-    assert reopened.current_manifest()["batch_watermark"] == 1
+    assert {r["conv_id"] for r in reopened.read().collect()} == {"c1", "c2", "c3"}
+    assert reopened.current_manifest()["snapshot_id"] == 2
+
+    # a gap in manifest numbering stops the probe: a stray FUTURE
+    # manifest (e.g. leftover from a host copy) cannot hijack HEAD
+    with open(os.path.join(tmp_table, "manifests", "m00000009.json"), "w") as fh:
+        fh.write("{}")
+    assert SnapshotMergeSink(spark, tmp_table).current_manifest()["snapshot_id"] == 2
+    os.remove(os.path.join(tmp_table, "manifests", "m00000009.json"))
+
+
+def test_concurrent_writer_cas_apply_vs_compact(spark, tmp_table):
+    # deterministic interleave of the realistic two-writer race: a
+    # maintenance compact() computes against HEAD, and BEFORE its
+    # commit lands a streaming apply_batch commits the same chain
+    # position.  The compact must lose the CAS (never silently clobber
+    # the apply), re-read the new HEAD, and re-fold — BOTH effects
+    # survive.
+    import types
+
+    sinkA = SnapshotMergeSink(spark, tmp_table, n_buckets=4, write_mode="mor",
+                              mor_compact_threshold=100)
+    sinkB = SnapshotMergeSink(spark, tmp_table, n_buckets=4, write_mode="mor",
+                              mor_compact_threshold=100)
+    for i in range(3):
+        sinkA.apply_batch(
+            feed_df(spark, [ev("I", f"c{i}", 0, i + 1)]), batch_id=i,
+            collect_metrics=False)
+
+    conflicts = {"n": 0}
+    orig = SnapshotMergeSink._write_manifest
+
+    def racing(self, doc):
+        if conflicts["n"] == 0:
+            conflicts["n"] += 1
+            # B sneaks in a commit at the position A is about to take
+            sinkB.apply_batch(
+                feed_df(spark, [ev("I", "late", 0, 99)]), batch_id=3,
+                collect_metrics=False)
+        return orig(self, doc)
+
+    sinkA._write_manifest = types.MethodType(racing, sinkA)
+    out = sinkA.compact()
+    assert conflicts["n"] == 1  # the race really happened
+    assert out["buckets_compacted"] >= 1
+    # both effects survive: B's batch rows AND A's compaction
+    final = SnapshotMergeSink(spark, tmp_table)
+    assert {r["conv_id"] for r in final.read().collect()} == {
+        "c0", "c1", "c2", "late"}
+    m = final.current_manifest()
+    assert m["batch_watermark"] == 3
+    # the retried compact folded the chains as of the NEW head — B's
+    # late batch was included in the refold or left as its own chain;
+    # either way nothing references a clobbered manifest
+    assert final.read().count() == 4
+
+
+def test_concurrent_writer_cas_duplicate_batch_skips(spark, tmp_table):
+    # two workers racing to apply the SAME batch id (at-least-once
+    # delivery upstream): the loser's retry must see the winner's
+    # ledger entry and skip — never a double-apply.
+    import types
+
+    sinkA = SnapshotMergeSink(spark, tmp_table, n_buckets=2)
+    sinkB = SnapshotMergeSink(spark, tmp_table, n_buckets=2)
+    sinkA.apply_batch(feed_df(spark, [ev("I", "c1", 0, 1)]), 0)
+
+    fired = {"n": 0}
+    orig = SnapshotMergeSink._write_manifest
+
+    def racing(self, doc):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            sinkB.apply_batch(feed_df(spark, [ev("I", "c2", 0, 2)]), 1)
+        return orig(self, doc)
+
+    sinkA._write_manifest = types.MethodType(racing, sinkA)
+    m = sinkA.apply_batch(feed_df(spark, [ev("I", "c2", 0, 2)]), 1)
+    assert fired["n"] == 1
+    assert m.skipped  # the retry pass ledger-checked and skipped
+    final = SnapshotMergeSink(spark, tmp_table)
+    assert final.read().count() == 2  # c2 applied exactly once
+    assert final.current_manifest()["snapshot_id"] == 1  # no extra commit
