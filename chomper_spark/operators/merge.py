@@ -49,6 +49,7 @@ whose semantics match ``MERGE INTO``):
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import re
@@ -108,6 +109,20 @@ _CHECKPOINT_EVERY = 16
 # sanity bound for pathological non-contiguous batch-id use (manual
 # callers skipping ids); contiguous streaming never grows the set.
 _RECENT_MAX = 100_000
+# Checkpoint SHARDING (round 5): a checkpoint's bucket/delta maps are
+# O(table width), so on a wide table every 16th commit wrote a
+# multi-MB manifest (amortized O(width/16) bytes per commit).  Wide
+# tables (n_buckets >= _SHARD_MIN_BUCKETS) now split those maps into
+# per-bucket-range shard files of _SHARD_SIZE buckets each; a
+# checkpoint rewrites ONLY the shards containing buckets touched since
+# the previous checkpoint and carries the rest forward by file
+# reference — Iceberg's manifest-list/manifest split, file-system
+# flavored.  Per-checkpoint bytes = O(touched shards) + the shard map
+# (O(width/_SHARD_SIZE) ~30-byte entries), so per-commit manifest
+# bytes are bounded by the batch's locality, not the table width.
+_SHARD_SIZE = 256
+_SHARD_MIN_BUCKETS = 1024
+_SHARD_SEQ = itertools.count()
 
 
 def _ledger_contains(manifest: dict | None, batch_id: int) -> bool:
@@ -186,6 +201,16 @@ def _apply_manifest_delta(base: dict, d: dict) -> dict:
     for k in d.get("delta_removals", ()):
         deltas.pop(k, None)
     out["deltas"] = deltas
+    # shard bookkeeping: which buckets changed since the base
+    # checkpoint (drives which shard files the NEXT checkpoint must
+    # rewrite), and the base's shard map (what it can reuse)
+    dirty = set(base.get("_dirty_buckets", ()))
+    dirty.update(d.get("bucket_updates", {}))
+    dirty.update(d.get("bucket_removals", ()))
+    dirty.update(d.get("delta_sets", {}))
+    dirty.update(d.get("delta_removals", ()))
+    out["_dirty_buckets"] = dirty
+    out["_shard_map"] = dict(base.get("_shard_map", {}))
     if "changes" in base or d.get("changes_updates"):
         changes = dict(base.get("changes", {}))
         changes.update(d.get("changes_updates", {}))
@@ -396,7 +421,7 @@ class SnapshotMergeSink:
                 break
             raw = self._load_raw(cur)
             if not raw.get("delta"):
-                base = _normalize_full(raw)
+                base = self._expand_checkpoint(_normalize_full(raw))
                 break
             chain.append(raw)
             cur = raw["parent"]
@@ -488,12 +513,92 @@ class SnapshotMergeSink:
             except FileExistsError:
                 nxt += 1
 
+    def _expand_checkpoint(self, base: dict) -> dict:
+        """Materialize a checkpoint's bucket/delta maps: sharded
+        checkpoints (wide tables) load their referenced shard files;
+        inline checkpoints pass through.  Either way the folded state
+        starts with an empty dirty set and the checkpoint's shard map."""
+        if "bucket_shards" in base:
+            buckets: dict[str, str] = {}
+            deltas: dict[str, list] = {}
+            for rel in base["bucket_shards"].values():
+                with open(os.path.join(self.root, "manifests", rel)) as fh:
+                    sh = json.load(fh)
+                buckets.update(sh.get("buckets", {}))
+                deltas.update(sh.get("deltas", {}))
+            base["buckets"] = buckets
+            base["deltas"] = deltas
+            # keep shard linkage only in the private bookkeeping key —
+            # a folded dict later passed as a checkpoint's new_full must
+            # not leak a stale on-disk shard map
+            base["_shard_map"] = dict(base.pop("bucket_shards"))
+        else:
+            base["_shard_map"] = {}
+        base["_dirty_buckets"] = set()
+        return base
+
+    def _maybe_shard_checkpoint(
+        self,
+        doc: dict,
+        new_full: dict,
+        prev_map: dict,
+        dirty_keys: set | None,
+    ) -> None:
+        """On wide tables, move a checkpoint ``doc``'s bucket/delta
+        maps into per-range shard files, rewriting ONLY the shards
+        containing ``dirty_keys`` (None = unknown → rewrite all) and
+        carrying clean shards forward from ``prev_map`` by reference.
+        Mutates ``doc`` (and ``new_full``'s shard bookkeeping)."""
+        if int(new_full["n_buckets"]) < _SHARD_MIN_BUCKETS:
+            new_full["_shard_map"] = {}
+            new_full["_dirty_buckets"] = set()
+            return
+        n_shards = -(-int(new_full["n_buckets"]) // _SHARD_SIZE)
+        if not prev_map or dirty_keys is None:
+            dirty_shards = set(range(n_shards))
+        else:
+            dirty_shards = {int(k) // _SHARD_SIZE for k in dirty_keys}
+        shard_map = {
+            s: rel for s, rel in prev_map.items() if int(s) not in dirty_shards
+        }
+        sdir = os.path.join(self.root, "manifests", "shards")
+        os.makedirs(sdir, exist_ok=True)
+        buckets = new_full.get("buckets", {})
+        deltas = new_full.get("deltas", {})
+        by_shard: dict[int, dict] = {}
+        for k, v in buckets.items():
+            s = int(k) // _SHARD_SIZE
+            if s in dirty_shards:
+                by_shard.setdefault(s, {"buckets": {}, "deltas": {}})["buckets"][k] = v
+        for k, v in deltas.items():
+            s = int(k) // _SHARD_SIZE
+            if s in dirty_shards:
+                by_shard.setdefault(s, {"buckets": {}, "deltas": {}})["deltas"][k] = v
+        for s, content in sorted(by_shard.items()):
+            # name must be unique across concurrent writers racing the
+            # same commit position (pid) and across same-process
+            # retries/instances (module counter) — a loser's file must
+            # never overwrite one a winner's manifest references
+            fname = (
+                f"c{doc['snapshot_id']:08d}_{s}_{os.getpid()}_"
+                f"{next(_SHARD_SEQ)}.json"
+            )
+            with open(os.path.join(sdir, fname), "w") as fh:
+                json.dump(content, fh)
+            shard_map[str(s)] = f"shards/{fname}"
+        doc.pop("buckets", None)
+        doc.pop("deltas", None)
+        doc["bucket_shards"] = shard_map
+        new_full["_shard_map"] = dict(shard_map)
+        new_full["_dirty_buckets"] = set()
+
     def _commit(
         self,
         new_full: dict,
         parent: dict | None = None,
         delta_doc: dict | None = None,
         force_full: bool = False,
+        touched_keys: set | None = None,
     ) -> None:
         """Commit ``new_full`` (the complete logical manifest).
 
@@ -512,6 +617,14 @@ class SnapshotMergeSink:
             and parent.get("_name")
             and chain_len <= _CHECKPOINT_EVERY
         )
+        # keys this commit touches (for shard dirtiness): derivable from
+        # the delta_doc when present, else supplied by maintenance ops
+        if delta_doc is not None and touched_keys is None:
+            touched_keys = set()
+            touched_keys.update(delta_doc.get("bucket_updates", {}))
+            touched_keys.update(delta_doc.get("bucket_removals", ()))
+            touched_keys.update(delta_doc.get("delta_sets", {}))
+            touched_keys.update(delta_doc.get("delta_removals", ()))
         if as_delta:
             doc = {
                 "format": 2,
@@ -527,6 +640,10 @@ class SnapshotMergeSink:
                 },
                 **delta_doc,
             }
+            new_full["_shard_map"] = dict(parent.get("_shard_map", {}))
+            new_full["_dirty_buckets"] = (
+                set(parent.get("_dirty_buckets", ())) | touched_keys
+            )
         else:
             chain_len = 0
             # overrides AFTER the spread so a chain_len/delta/parent key
@@ -539,6 +656,17 @@ class SnapshotMergeSink:
             }
             doc.pop("delta", None)
             doc.pop("parent", None)
+            doc.pop("bucket_shards", None)
+            dirty = (
+                set(parent.get("_dirty_buckets", ())) | touched_keys
+                if parent is not None and touched_keys is not None
+                else None
+            )
+            self._maybe_shard_checkpoint(
+                doc, new_full,
+                dict(parent.get("_shard_map", {})) if parent else {},
+                dirty,
+            )
         name = self._write_manifest(doc)
         new_full["chain_len"] = chain_len
         new_full["_name"] = name
@@ -1586,7 +1714,12 @@ class SnapshotMergeSink:
                 "bucket_cols": self.bucket_cols,
                 "n_buckets": self.n_buckets,
             },
+            parent=manifest,
             force_full=True,  # maintenance rewrite → natural checkpoint
+            # checkpoint sharding: only the folded buckets' shards are
+            # rewritten — a targeted compaction on a wide table stays
+            # O(touched shards) in manifest bytes too
+            touched_keys={str(k) for k in to_compact},
         )
         return {"buckets_compacted": len(to_compact), "delta_refs_folded": n_refs}
 
@@ -1638,13 +1771,26 @@ class SnapshotMergeSink:
             }
             doc.pop("delta", None)
             doc.pop("parent", None)
+            # wide tables: the rewrite checkpoints shard too — only the
+            # shards dirtied since the chain's base are rewritten
+            rewrite_state = dict(folded)
+            self._maybe_shard_checkpoint(
+                doc,
+                rewrite_state,
+                dict(folded.get("_shard_map", {})),
+                set(folded.get("_dirty_buckets", ())),
+            )
             mpath = os.path.join(mdir, name)
             with open(mpath + ".tmp", "w") as fh:
                 json.dump(doc, fh)
             os.replace(mpath + ".tmp", mpath)
-            self._fold_cache = (name, {**folded, "chain_len": 0, "_name": name})
+            self._fold_cache = (
+                name,
+                {**rewrite_state, "chain_len": 0, "_name": name},
+            )
         live_snapshots: set[str] = set()
         live_changes: set[str] = set()
+        live_shards: set[str] = set()
         for name in keep:
             try:
                 man = self._fold_by_name(name)
@@ -1657,6 +1803,7 @@ class SnapshotMergeSink:
                     live_snapshots.add(rel.split("/")[1])
             for rel in self._changes_map(man, for_gc=True).values():
                 live_changes.add(rel.split("/", 1)[1])  # changes/<dir>
+            live_shards.update(man.get("_shard_map", {}).values())
             live_snapshots.add(f"s{man['snapshot_id']:08d}")
         def _rm_sized(full: str) -> int:
             freed = sum(
@@ -1707,8 +1854,6 @@ class SnapshotMergeSink:
         # crash debris from _write_manifest (content temp linked-or-not);
         # an AGE guard keeps GC from unlinking a concurrent writer's
         # temp in the instant between its write and its link
-        import time as _time
-
         for f in os.listdir(mdir):
             fp = os.path.join(mdir, f)
             try:
@@ -1717,6 +1862,21 @@ class SnapshotMergeSink:
                 continue
             if f.endswith(".inflight") and stale:
                 os.remove(fp)
+        # checkpoint shard files referenced by no kept manifest; same
+        # age guard (a racing writer writes shards BEFORE its manifest
+        # link, so fresh unreferenced shards may be about to be linked)
+        shdir = os.path.join(mdir, "shards")
+        if os.path.isdir(shdir):
+            for f in os.listdir(shdir):
+                fp = os.path.join(shdir, f)
+                if f"shards/{f}" in live_shards:
+                    continue
+                try:
+                    if _time.time() - os.path.getmtime(fp) > 3600:
+                        stats["bytes_freed"] += os.path.getsize(fp)
+                        os.remove(fp)
+                except OSError:
+                    continue
         # change-audit dirs not referenced by any retained manifest
         # (crash debris or pre-truncate history) are garbage too
         cdir = os.path.join(self.root, "changes")

@@ -797,3 +797,111 @@ def test_concurrent_writer_cas_duplicate_batch_skips(spark, tmp_table):
     final = SnapshotMergeSink(spark, tmp_table)
     assert final.read().count() == 2  # c2 applied exactly once
     assert final.current_manifest()["snapshot_id"] == 1  # no extra commit
+
+
+def _manifest_bytes(root):
+    import os
+
+    total = 0
+    mdir = os.path.join(root, "manifests")
+    for r, _, fs in os.walk(mdir):
+        for f in fs:
+            total += os.path.getsize(os.path.join(r, f))
+    return total
+
+
+def test_wide_table_checkpoint_shards_bound_commit_bytes(spark, tmp_table):
+    # the round-4 finding: every 16th commit rewrote the FULL bucket
+    # map — O(table width) manifest bytes on a wide table.  Sharded
+    # checkpoints must make checkpoint bytes O(touched shards): drive
+    # the manifest layer directly (no Spark data needed) with a
+    # 10^4-bucket table and 1-bucket batches, and assert the periodic
+    # checkpoint writes a small fraction of the full map.
+    import json
+    import os
+
+    n_buckets = 10_000
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=n_buckets,
+                             key_cols=["conv_id", "turn_idx"])
+    schema_json = json.dumps({"type": "struct", "fields": []})
+    base_full = {
+        "snapshot_id": 0, "batch_watermark": 0, "recent_batches": [],
+        "buckets": {str(k): f"snapshots/s00000000/data/_bucket={k}"
+                    for k in range(n_buckets)},
+        "deltas": {}, "changes": {},
+        "schema": schema_json,
+        "schema_history": [{"from_snapshot": 0, "schema": schema_json}],
+        "key_cols": sink.key_cols, "bucket_cols": sink.bucket_cols,
+        "n_buckets": n_buckets,
+    }
+    sink._commit(base_full, force_full=True)
+    full_ckpt_bytes = _manifest_bytes(tmp_table)
+    assert full_ckpt_bytes > 100_000  # the full map really is wide
+
+    # 40 one-bucket delta commits -> several periodic checkpoints
+    per_commit = []
+    man = sink.current_manifest()
+    for i in range(1, 41):
+        bytes_before = _manifest_bytes(tmp_table)
+        touched = str((i * 37) % n_buckets)
+        buckets = dict(man["buckets"])
+        buckets[touched] = f"snapshots/s{i:08d}/data/_bucket={touched}"
+        new_full = {
+            "snapshot_id": i, "batch_watermark": i, "recent_batches": [],
+            "buckets": buckets, "deltas": dict(man["deltas"]),
+            "changes": {}, "schema": schema_json,
+            "schema_history": man["schema_history"],
+            "key_cols": sink.key_cols, "bucket_cols": sink.bucket_cols,
+            "n_buckets": n_buckets,
+        }
+        sink._commit(
+            new_full, parent=man,
+            delta_doc={"bucket_updates": {touched: buckets[touched]},
+                       "delta_removals": [], "changes_updates": {}},
+        )
+        man = sink.current_manifest()
+        per_commit.append(_manifest_bytes(tmp_table) - bytes_before)
+
+    ckpt_commits = [b for b in per_commit if b > 3 * min(per_commit)]
+    assert ckpt_commits, "expected at least one periodic checkpoint in 40 commits"
+    # each periodic checkpoint writes O(touched shards + shard map),
+    # a small fraction of the full O(width) map it used to write
+    assert max(ckpt_commits) < full_ckpt_bytes * 0.25, (
+        f"checkpoint wrote {max(ckpt_commits)} bytes vs full map "
+        f"{full_ckpt_bytes} - sharding not engaged?"
+    )
+
+    # correctness: fresh sink folds the sharded chain identically
+    fresh = SnapshotMergeSink(spark, tmp_table)
+    m2 = fresh.current_manifest()
+    assert m2["buckets"] == man["buckets"]
+    assert m2["batch_watermark"] == 40
+    # time travel onto a sharded checkpoint still folds
+    old = fresh.manifest_at(17)
+    assert len(old["buckets"]) == n_buckets
+
+
+def test_wide_table_end_to_end_shard_checkpoint_reads(spark, tmp_table):
+    # end-to-end at the sharding threshold: MOR single-layout keeps the
+    # per-batch write to ONE file, so a 1024-bucket table is cheap to
+    # drive through real applies across a checkpoint boundary; reads,
+    # point lookups and time travel must all fold the sharded
+    # checkpoints transparently, and GC must not break them.
+    import os
+
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=1024,
+                             write_mode="mor", mor_compact_threshold=1000)
+    for i in range(18):
+        sink.apply_batch(
+            feed_df(spark, [ev("I", f"c{i}", 0, i + 1)]), batch_id=i,
+            collect_metrics=False, delta_layout="single")
+    assert os.path.isdir(os.path.join(tmp_table, "manifests", "shards"))
+    fresh = SnapshotMergeSink(spark, tmp_table)
+    assert fresh.read().count() == 18
+    got = fresh.read_keys([("c7", 0)]).collect()
+    assert len(got) == 1 and got[0]["conv_id"] == "c7"
+    # time travel across the checkpoint boundary
+    assert fresh.read(as_of_snapshot=10).count() == 11
+    # GC keeps referenced shards; reads still work after
+    fresh.expire_snapshots(keep_manifests=3)
+    assert SnapshotMergeSink(spark, tmp_table).read().count() == 18
