@@ -142,19 +142,164 @@ def resize_media(
     return binary_df.mapInPandas(_resize, schema=RESIZE_SCHEMA)
 
 
-def multimodal_resize(docs: DataFrame, out_w: int = 64, out_h: int = 48) -> DataFrame:
-    return resize_media(attach_binary(docs), out_w=out_w, out_h=out_h, fake_decode=True)
+# ------------------------------------------------- real PPM decode + resize
+#
+# Round 5: the decode step is no longer a stub for UNCOMPRESSED formats
+# — P6 PPM (netpbm) parses in pure numpy, so the full decode → pixel
+# resize → feature path runs with REAL pixel math inside the existing
+# Arrow mapInPandas seam.  Formats needing codecs (JPEG/PNG/audio/
+# video) still go through _decode_stub / the fake kernels above.
+
+PPM_W, PPM_H = 16, 12  # synthetic image size; divisible by the out grid
 
 
-def multimodal_resize_sql(out_w: int = 64, out_h: int = 48) -> str:
-    budget = out_w * out_h // 16
+def encode_ppm(pixels) -> bytes:
+    """uint8 ndarray (H, W, 3) → binary P6 PPM bytes."""
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def decode_ppm(b: bytes):
+    """Binary P6 PPM → uint8 ndarray (H, W, 3).  Pure numpy; handles
+    the netpbm header grammar (token whitespace + '#' comments)."""
+    import numpy as np
+
+    if b[:2] != b"P6":
+        raise ValueError("not a binary P6 PPM")
+    # tokenize the header: magic, width, height, maxval — each token
+    # may be separated by any whitespace, with #-comments to EOL
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(b):
+        c = b[i : i + 1]
+        if c == b"#":
+            i = b.index(b"\n", i) + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(b) and not b[j : j + 1].isspace():
+                j += 1
+            tokens.append(b[i:j])
+            i = j
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    i += 1  # exactly one whitespace byte after maxval, then raster
+    raster = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=i)
+    return raster.reshape(h, w, 3)
+
+
+def synthesize_ppm(docs: DataFrame, w: int = PPM_W, h: int = PPM_H) -> DataFrame:
+    """Deterministic synthetic camera: one real P6 PPM binary per doc,
+    pixel(x, y, c) = (doc_id*7 + (y*w + x)*3 + c) % 256 — closed-form,
+    so the DuckDB oracle reproduces every pixel relationally without
+    parsing bytes.  (In production the binary column comes off object
+    storage; this stage exists so the decoder below chews real bytes.)"""
+    import numpy as np
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ramp = np.arange(w * h * 3, dtype=np.int64)
+        for pdf in batches:
+            content = [
+                encode_ppm(((int(d) * 7 + ramp) % 256).astype(np.uint8).reshape(h, w, 3))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
+
+    return docs.select("doc_id").mapInPandas(_synth, schema="doc_id bigint, content binary")
+
+
+DECODE_RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, out_w int, out_h int, "
+    "mean_r double, mean_g double, mean_b double, r00 double, b_last double"
+)
+
+
+def decode_resize_ppm(
+    binary_df: DataFrame, out_w: int = 4, out_h: int = 3
+) -> DataFrame:
+    """REAL decode → resize: parse each P6 payload, block-average the
+    pixel grid down to (out_w, out_h), emit per-channel means of the
+    source plus probe values of the resized grid.  All math is exact
+    float64 (integer sums), so the relational oracle matches
+    bit-for-bit under the stable6 floor.
+
+    One Arrow batch per task; per-row work is the tiny header parse,
+    the pixel math is one vectorized reshape-mean over the stacked
+    batch (same-size images; variable sizes would group by (w, h))."""
+    import numpy as np
+
+    def _stable6(a):
+        return np.floor(a * 1e6) / 1e6
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            imgs = np.stack([decode_ppm(bytes(b)) for b in pdf["content"]])
+            n, h, w, _ = imgs.shape
+            fy, fx = h // out_h, w // out_w
+            resized = imgs.reshape(n, out_h, fy, out_w, fx, 3).mean(axis=(2, 4))
+            means = imgs.astype(np.float64).reshape(n, h * w, 3).mean(axis=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": np.full(n, w, dtype=np.int32),
+                    "height": np.full(n, h, dtype=np.int32),
+                    "out_w": np.full(n, out_w, dtype=np.int32),
+                    "out_h": np.full(n, out_h, dtype=np.int32),
+                    "mean_r": _stable6(means[:, 0]),
+                    "mean_g": _stable6(means[:, 1]),
+                    "mean_b": _stable6(means[:, 2]),
+                    "r00": _stable6(resized[:, 0, 0, 0]),
+                    "b_last": _stable6(resized[:, out_h - 1, out_w - 1, 2]),
+                }
+            )
+
+    return binary_df.mapInPandas(_decode, schema=DECODE_RESIZE_SCHEMA)
+
+
+def multimodal_resize(docs: DataFrame, out_w: int = 4, out_h: int = 3) -> DataFrame:
+    """Synthesize real PPM binaries → decode → pixel-average resize.
+    The byte-slice fake kernel (``resize_media``) remains the path for
+    codec-bound formats."""
+    return decode_resize_ppm(synthesize_ppm(docs), out_w=out_w, out_h=out_h)
+
+
+def multimodal_resize_sql(out_w: int = 4, out_h: int = 3) -> str:
+    """DuckDB twin: regenerates every pixel from the closed form and
+    block-averages relationally — an independent check of the decoded
+    raster AND the resize arithmetic."""
+    w, h, fx, fy = PPM_W, PPM_H, PPM_W // out_w, PPM_H // out_h
     return f"""
-SELECT doc_id,
-       CASE (doc_id % 3)::INT WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+WITH px AS (
+  SELECT d.doc_id, x.x, y.y, c.c,
+         (d.doc_id * 7 + (y.y * {w} + x.x) * 3 + c.c) % 256 AS v
+  FROM documents d
+  CROSS JOIN (SELECT unnest(generate_series(0, {w - 1})) AS x) x
+  CROSS JOIN (SELECT unnest(generate_series(0, {h - 1})) AS y) y
+  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS c) c
+),
+rs AS (
+  SELECT doc_id, x // {fx} AS bx, y // {fy} AS by, c, avg(v) AS rv
+  FROM px GROUP BY 1, 2, 3, 4
+),
+mu AS (
+  SELECT doc_id,
+         floor(avg(CASE WHEN c = 0 THEN v END) * 1000000.0) / 1000000.0 AS mean_r,
+         floor(avg(CASE WHEN c = 1 THEN v END) * 1000000.0) / 1000000.0 AS mean_g,
+         floor(avg(CASE WHEN c = 2 THEN v END) * 1000000.0) / 1000000.0 AS mean_b
+  FROM px GROUP BY doc_id
+)
+SELECT m.doc_id, {w}::INT AS width, {h}::INT AS height,
        {out_w}::INT AS out_w, {out_h}::INT AS out_h,
-       least(octet_length(encode(text)), {budget})::INT AS out_bytes,
-       md5(substr(text, 1, {budget})) AS out_hash
-FROM documents
+       m.mean_r, m.mean_g, m.mean_b,
+       floor(r0.rv * 1000000.0) / 1000000.0 AS r00,
+       floor(rl.rv * 1000000.0) / 1000000.0 AS b_last
+FROM mu m
+JOIN rs r0 ON r0.doc_id = m.doc_id AND r0.bx = 0 AND r0.by = 0 AND r0.c = 0
+JOIN rs rl ON rl.doc_id = m.doc_id AND rl.bx = {out_w - 1} AND rl.by = {out_h - 1} AND rl.c = 2
 """
 
 

@@ -416,13 +416,39 @@ def test_multimodal_plumbing_fake_decode(spark):
     assert rows[0]["content_hash"] == rows[1]["content_hash"]
 
 
-def test_multimodal_resize_plumbing(spark):
-    out = mm.multimodal_resize(_docs(spark), out_w=8, out_h=4)  # budget = 2 bytes
-    rows = {r["doc_id"]: r for r in out.collect()}
-    assert rows[0]["out_bytes"] == 2 and rows[0]["out_w"] == 8
-    import hashlib
+def test_ppm_encode_decode_roundtrip_and_header_grammar():
+    import numpy as np
 
-    assert rows[0]["out_hash"] == hashlib.md5(b"al").hexdigest()  # first 2 bytes
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert (mm.decode_ppm(mm.encode_ppm(img)) == img).all()
+    # netpbm header grammar: comments and arbitrary whitespace between
+    # tokens must parse (a real-world PPM writer emits these)
+    raw = b"P6 # comment\n# another\n 3\t2 # w h\n255\n" + img.tobytes()
+    assert (mm.decode_ppm(raw) == img).all()
+    with pytest.raises(ValueError, match="P6"):
+        mm.decode_ppm(b"P5\n1 1\n255\n\x00")
+    with pytest.raises(ValueError, match="maxval"):
+        mm.decode_ppm(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+
+
+def test_multimodal_resize_real_pixel_math(spark):
+    # decode of REAL P6 bytes + block-average resize, checked against
+    # hand-computed pixel math for doc 0: pixel(x,y,c) = ((y*16+x)*3+c)%256
+    import numpy as np
+
+    out = mm.multimodal_resize(_docs(spark), out_w=4, out_h=3)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    r0 = rows[0]
+    assert (r0["width"], r0["height"], r0["out_w"], r0["out_h"]) == (16, 12, 4, 3)
+    ramp = (np.arange(16 * 12 * 3, dtype=np.int64) % 256).reshape(12, 16, 3)
+    exp_mean_r = np.floor(ramp[..., 0].mean() * 1e6) / 1e6
+    exp_r00 = np.floor(ramp[:4, :4, 0].mean() * 1e6) / 1e6
+    exp_b_last = np.floor(ramp[8:, 12:, 2].mean() * 1e6) / 1e6
+    assert r0["mean_r"] == exp_mean_r
+    assert r0["r00"] == exp_r00
+    assert r0["b_last"] == exp_b_last
+    # the doc_id*7 offset shifts every pixel: doc 1 differs from doc 0
+    assert rows[1]["r00"] != rows[0]["r00"]
 
 
 def test_multimodal_frame_sampling_fanout(spark):
