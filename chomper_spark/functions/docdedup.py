@@ -136,7 +136,10 @@ MAX_SHINGLE_DF = 500  # candidate-generation document-frequency cap
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.8, max_df: int = MAX_SHINGLE_DF
+    docs: DataFrame,
+    threshold: float = 0.8,
+    max_df: int = MAX_SHINGLE_DF,
+    persist_shingles: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with exact n-gram Jaccard ≥ threshold.
 
@@ -148,8 +151,24 @@ def ngram_jaccard_pairs(
     because a ≥0.8-Jaccard pair shares many shingles and only the
     globally-common ones are dropped.  The exact Jaccard verify still
     uses the FULL shingle sets — the cap only limits which pairs are
-    considered, mirrored exactly in the DuckDB oracle."""
-    sh = shingles(docs)
+    considered, mirrored exactly in the DuckDB oracle.
+
+    ``persist_shingles``: the shingle frame is referenced by ~4 plan
+    subtrees (DF filter, candidate join, size + common verify), so
+    without caching the corpus text is re-shingled per subtree.
+    Measured at sf0.1 (see BASELINE.md round-5 note): recompute wins
+    on this corpus — shingling is cheap codegen'd string work while
+    persist pays MEMORY_AND_DISK materialization + lineage-blocking,
+    and Spark reuses the scan via in-memory parquet footers.  At
+    100 TB the trade flips when text IO dominates: pass True there
+    (or persist upstream) — the knob exists so the choice is explicit
+    and measurable rather than implicit."""
+    if persist_shingles:
+        from pyspark import StorageLevel
+
+        sh = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        sh = shingles(docs)
     # per-shingle document frequency via groupBy (NOT a window over
     # partitionBy(shingle): that would shuffle every occurrence of a hot
     # shingle into ONE task — reintroducing, as a single-task sort
