@@ -102,3 +102,42 @@ class LineageTable:
         for b in drop:
             _shutil.rmtree(os.path.join(self.root, f"batch_id={b}"), ignore_errors=True)
         return {"batches_removed": len(drop), "batches_kept": min(len(ids), keep_batches)}
+
+
+def dedup_drop_lineage(stats: DataFrame, batch_id: int, op: str) -> DataFrame:
+    """Collapse a candidate-cap stats frame (``simhash_candidate_stats``
+    / ``lsh_candidate_stats``: one row per bucket with ``members`` and
+    ``members_dropped``) into ONE lineage row per dedup run.
+
+    The dedup families bound their candidate self-joins with per-bucket
+    caps; this is the "no silent caps" principle made OPERATIONAL: when
+    a dedup op runs under the engine, append this row to a
+    ``LineageTable`` so recall loss from cap saturation is a queryable
+    production signal (alert on members_dropped > 0), not something
+    only the test suite ever sees.  One map-side-combinable aggregate
+    over the same melt the candidate generation uses — no extra scan
+    of the corpus."""
+    agg = stats.agg(
+        F.count(F.lit(1)).alias("_buckets"),
+        F.coalesce(
+            F.sum((F.col("members_dropped") > 0).cast("long")), F.lit(0)
+        ).alias("_over"),
+        F.coalesce(F.sum("members_dropped"), F.lit(0)).alias("_dropped"),
+        F.coalesce(F.max("members"), F.lit(0)).alias("_max"),
+    )
+    return agg.select(
+        F.lit(batch_id).cast("long").alias("batch_id"),
+        F.lit(op).alias("op"),
+        F.col("_buckets").cast("long").alias("buckets_total"),
+        F.col("_over").cast("long").alias("buckets_over_cap"),
+        F.col("_dropped").cast("long").alias("members_dropped"),
+        F.col("_max").cast("long").alias("max_bucket_members"),
+    )
+
+
+def record_dedup_run(
+    table: "LineageTable", stats: DataFrame, batch_id: int, op: str
+) -> None:
+    """Append one dedup-run drop-stats row to a lineage table
+    (idempotent per batch_id like all lineage appends)."""
+    table.append(dedup_drop_lineage(stats, batch_id, op), batch_id)

@@ -122,3 +122,39 @@ def test_streaming_auto_lineage_retention(spark, tmp_path):
     app.run_available()
     dirs = [d for d in os.listdir(lineage) if d.startswith("batch_id=")]
     assert len(dirs) == 2  # 5 micro-batches appended, retention held at 2
+
+
+def test_dedup_drop_stats_surface_in_lineage(spark, tmp_path):
+    # cap saturation must be an observable lineage row, not a silent
+    # recall loss: 30 identical docs under chunk_cap=6 drop 24 members
+    # in each of the 4 simhash chunks
+    from chomper_spark.functions import docdedup as dd
+    from chomper_spark.operators.lineage import (
+        LineageTable,
+        dedup_drop_lineage,
+        record_dedup_run,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "same text everywhere") for i in range(30)], "doc_id long, text string"
+    )
+    stats = dd.simhash_candidate_stats(docs, chunk_cap=6)
+    table = LineageTable(spark, str(tmp_path / "dedup_lineage"))
+    record_dedup_run(table, stats, batch_id=7, op="simhash")
+    rows = table.read().collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["batch_id"], r["op"]) == (7, "simhash")
+    assert r["buckets_total"] == 4 and r["buckets_over_cap"] == 4
+    assert r["members_dropped"] == 4 * 24 and r["max_bucket_members"] == 30
+    # replay of the same run overwrites, never duplicates
+    record_dedup_run(table, stats, batch_id=7, op="simhash")
+    assert table.read().count() == 1
+    # an uncapped corpus records zeros (the healthy baseline row)
+    small = spark.createDataFrame(
+        [(1, "one doc"), (2, "two doc")], "doc_id long, text string"
+    )
+    row0 = dedup_drop_lineage(
+        dd.simhash_candidate_stats(small, chunk_cap=100), 8, "simhash"
+    ).collect()[0]
+    assert row0["members_dropped"] == 0 and row0["buckets_over_cap"] == 0
