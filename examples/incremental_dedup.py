@@ -67,6 +67,34 @@ def main() -> None:
     ))
     # periodic maintenance (see jobs/maintain_job.py for the scheduled form)
     print("gc:", index.expire_snapshots(keep_manifests=3))
+
+    # ---- NEAR-dup variant (round 5): same engine shape, but the
+    # persistent index holds MinHash LSH bands, keyed on
+    # (band_idx, band_val, doc_id) and BUCKETED on the band prefix so a
+    # batch probes only its own buckets.  Classification = batch
+    # signatures → band-join → exact-Jaccard verify on candidates only.
+    nroot = tempfile.mkdtemp(prefix="dedup_bidx_")
+    bidx = SnapshotMergeSink(
+        spark, nroot, n_buckets=64,
+        key_cols=["band_idx", "band_val", "doc_id"],
+        bucket_cols=["band_idx", "band_val"],
+    )
+    corpus = spark.createDataFrame(
+        [(100, " ".join(f"tok{i}" for i in range(30)))], "doc_id long, text string"
+    )
+    bidx.apply_batch(dd.band_index_events(corpus, 0), 0, collect_metrics=False)
+    batch = spark.createDataFrame(
+        [(200, " ".join(f"tok{i}" for i in range(30)) + " extra"),
+         (201, "unrelated words only here")],
+        "doc_id long, text string",
+    )
+    probe = dd.minhash_bands(batch).select("band_idx", "band_val")
+    idx_rows = bidx.read_prune_for(probe).select("band_idx", "band_val", "doc_id")
+    links = dd.incremental_neardup(idx_rows, batch, corpus).collect()
+    print("near-dup links:", [(r["doc_id"], r["dup_of"], round(r["jaccard"], 3))
+                              for r in links])
+    # fold the batch's bands into the index for the next arrival
+    bidx.apply_batch(dd.band_index_events(batch, 1), 1, collect_metrics=False)
     spark.stop()
 
 

@@ -10,9 +10,14 @@ against the same roots the ingest job writes:
         --keep-manifests 48 --keep-lineage-batches 10000
 
 Maintenance is safe to run concurrently with readers: expire only
-deletes snapshot/change dirs referenced by NO retained manifest, and
-the _CURRENT pointer flip that readers follow is atomic.  (On Iceberg
-this maps to `expire_snapshots` + a lineage-table DELETE.)
+deletes snapshot/change dirs referenced by NO retained manifest (with
+an age guard protecting a live writer's in-flight claims), and HEAD
+resolution is atomic.  Since round 5 it is also safe to run
+concurrently with the WRITER: commits are published with a
+compare-and-swap (exclusive manifest link), so a compact() racing the
+streaming apply loses cleanly, re-reads HEAD, and retries — never a
+silent last-wins clobber.  (On Iceberg this maps to
+`expire_snapshots` + a lineage-table DELETE under optimistic commit.)
 """
 
 from __future__ import annotations

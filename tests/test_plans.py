@@ -209,3 +209,39 @@ def test_change_row_emission_adds_no_python_and_reuses_join(spark, tmp_path):
     ch = sink.read_changes()
     assert "BatchEvalPython" not in _plan(ch)
     assert ch.count() == 1
+
+
+def test_incremental_neardup_plan_python_free_and_band_pruned(spark, tmp_path):
+    # X40b scale shape: (a) candidate generation + exact-Jaccard verify
+    # is pure Catalyst — no Python eval nodes anywhere; (b) the
+    # persistent band index is bucketed on the band PREFIX, so a batch
+    # probe scans only the buckets its band hashes land in, never the
+    # whole index.
+    from chomper_spark.functions import docdedup as dd
+    from chomper_spark.operators.merge import SnapshotMergeSink
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(8))) for i in range(12)],
+        "doc_id long, text string",
+    )
+    sink = SnapshotMergeSink(
+        spark, str(tmp_path / "bidx"), n_buckets=16,
+        key_cols=["band_idx", "band_val", "doc_id"],
+        bucket_cols=["band_idx", "band_val"],
+    )
+    sink.apply_batch(dd.band_index_events(corpus, 0), 0, collect_metrics=False)
+    new_docs = spark.createDataFrame(
+        [(100, " ".join(f"w3x{j}" for j in range(8)))], "doc_id long, text string"
+    )
+    probe = dd.minhash_bands(new_docs).select("band_idx", "band_val")
+    index = sink.read_prune_for(probe)
+    full = sink.read()
+    # band-prefix pruning: the 4-band probe scans at most 4 of the
+    # index's bucket files
+    assert 0 < len(index.inputFiles()) <= 4
+    assert len(index.inputFiles()) < len(full.inputFiles())
+    out = dd.incremental_neardup(
+        index.select("band_idx", "band_val", "doc_id"), new_docs, corpus
+    )
+    plan = _plan(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
