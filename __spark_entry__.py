@@ -207,10 +207,15 @@ def _q_dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink.apply_batch(
         dd.band_index_events(corpus, batch_seq=0), batch_id=0, collect_metrics=False
     )
-    # probe only the index buckets the batch's band hashes land in
-    batch_bands = dd.minhash_bands(new_docs).select("band_idx", "band_val")
-    index = sink.read_prune_for(batch_bands).select("band_idx", "band_val", "doc_id")
-    return dd.incremental_neardup(index, new_docs, corpus)
+    # the batch's band frame feeds the bucket probe AND both candidate
+    # joins — persist it once (O(batch × bands) tiny rows; the probe's
+    # collect materializes the cache, so classification never
+    # re-shingles the batch)
+    batch_bands = dd.minhash_bands(new_docs).persist()
+    index = sink.read_prune_for(
+        batch_bands.select("band_idx", "band_val")
+    ).select("band_idx", "band_val", "doc_id")
+    return dd.incremental_neardup(index, new_docs, corpus, batch_bands=batch_bands)
 
 
 def _q_tx_nested_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:

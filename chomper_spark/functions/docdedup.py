@@ -456,6 +456,7 @@ def incremental_neardup(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
+    batch_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Classify a NEW batch of documents for near-duplicates against a
     persistent MinHash band index — the only near-dup shape that holds
@@ -476,8 +477,18 @@ def incremental_neardup(
     Returns (doc_id, dup_of, jaccard): one row per verified near-dup
     link where ``doc_id`` is a batch doc and ``dup_of`` is either a
     corpus doc or an earlier (lower-id) doc of the same batch.  A
-    re-crawl of a doc_id already in the corpus never matches itself."""
-    batch_bands = minhash_bands(new_docs, k, bands, rows)
+    re-crawl of a doc_id already in the corpus never matches itself.
+
+    ``batch_bands``: pass a PERSISTED ``minhash_bands(new_docs)``
+    frame when the caller already computed it (it must — the index
+    probe needs it) — the band frame feeds three subtrees (index
+    probe, index join, intra-batch self-join), and without caching the
+    batch is re-shingled + re-minhashed per subtree.  The frame is
+    O(batch × bands) tiny rows, so caching it is the right trade at
+    every scale (unlike the corpus-sized shingle frame of
+    ``ngram_jaccard_pairs`` — see BASELINE.md round 5)."""
+    if batch_bands is None:
+        batch_bands = minhash_bands(new_docs, k, bands, rows)
     cand_corpus = (
         batch_bands.alias("n")
         .join(index.alias("i"), ["band_idx", "band_val"])
