@@ -494,21 +494,28 @@ class SnapshotMergeSink:
         therefore run AHEAD of the manifest's commit id — they are
         decoupled on purpose."""
         sdir = os.path.join(self.root, "snapshots")
-        nxt = (
-            max(
-                (
-                    int(m.group(1))
-                    for d in os.listdir(sdir)
-                    if (m := _SNAP_DIR_RE.match(d))
-                ),
-                default=-1,
+        # the directory listing runs once per sink instance; afterwards
+        # the cursor advances in memory, so a long-running stream pays
+        # O(1) per commit instead of O(#snapshot dirs) (the mkdir loop
+        # still resolves any collision with another process's claims)
+        nxt = getattr(self, "_claim_cursor", None)
+        if nxt is None:
+            nxt = (
+                max(
+                    (
+                        int(m.group(1))
+                        for d in os.listdir(sdir)
+                        if (m := _SNAP_DIR_RE.match(d))
+                    ),
+                    default=-1,
+                )
+                + 1
             )
-            + 1
-        )
         while True:
             path = os.path.join(sdir, f"s{nxt:08d}")
             try:
                 os.mkdir(path)
+                self._claim_cursor = nxt + 1
                 return nxt, path
             except FileExistsError:
                 nxt += 1

@@ -905,3 +905,47 @@ def test_wide_table_end_to_end_shard_checkpoint_reads(spark, tmp_table):
     # GC keeps referenced shards; reads still work after
     fresh.expire_snapshots(keep_manifests=3)
     assert SnapshotMergeSink(spark, tmp_table).read().count() == 18
+
+
+def test_threaded_apply_vs_compact_stress(spark, tmp_table):
+    # non-deterministic counterpart of the CAS interleave tests: a real
+    # applier thread races a real maintenance thread on the same root
+    # (separate sink instances, shared SparkSession — Spark job
+    # submission is thread-safe).  Whatever the interleaving, every
+    # batch's effect must land exactly once and no commit may be lost.
+    import threading
+
+    errs = []
+
+    def applier():
+        try:
+            sink = SnapshotMergeSink(spark, tmp_table, n_buckets=4,
+                                     write_mode="mor", mor_compact_threshold=100)
+            for i in range(8):
+                sink.apply_batch(
+                    feed_df(spark, [ev("I", f"a{i}", 0, i + 1)]), batch_id=i,
+                    collect_metrics=False)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    def maintainer():
+        try:
+            sink = SnapshotMergeSink(spark, tmp_table, n_buckets=4,
+                                     write_mode="mor", mor_compact_threshold=100)
+            for _ in range(4):
+                sink.compact()
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    # ensure the table exists before the maintenance thread opens it
+    SnapshotMergeSink(spark, tmp_table, n_buckets=4, write_mode="mor").apply_batch(
+        feed_df(spark, [ev("I", "seed", 0, 1)]), batch_id=100, collect_metrics=False)
+    t1, t2 = threading.Thread(target=applier), threading.Thread(target=maintainer)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    final = SnapshotMergeSink(spark, tmp_table)
+    got = {r["conv_id"] for r in final.read().collect()}
+    assert got == {"seed", *{f"a{i}" for i in range(8)}}
+    m = final.current_manifest()
+    assert m["batch_watermark"] == 7  # 0..7 contiguous
+    assert 100 in final.committed_batches()
