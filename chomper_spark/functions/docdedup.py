@@ -417,6 +417,8 @@ LEFT JOIN known k ON n.text_hash = k.text_hash
 
 # ------------------------------------------- incremental NEAR-dup (X40b)
 
+INDEX_BUCKET_CAP = 64  # lowest doc_ids considered per band bucket
+
 
 def band_index_events(
     new_docs: DataFrame,
@@ -457,6 +459,7 @@ def incremental_neardup(
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
     batch_bands: DataFrame | None = None,
+    index_bucket_cap: int = INDEX_BUCKET_CAP,
 ) -> DataFrame:
     """Classify a NEW batch of documents for near-duplicates against a
     persistent MinHash band index — the only near-dup shape that holds
@@ -486,12 +489,32 @@ def incremental_neardup(
     batch is re-shingled + re-minhashed per subtree.  The frame is
     O(batch × bands) tiny rows, so caching it is the right trade at
     every scale (unlike the corpus-sized shingle frame of
-    ``ngram_jaccard_pairs`` — see BASELINE.md round 5)."""
+    ``ngram_jaccard_pairs`` — see BASELINE.md round 5).
+
+    ``index_bucket_cap``: a mass-duplicate corpus degenerates a band
+    bucket (10^5 copies share every band), and an UNCAPPED index join
+    would emit O(batch × occupancy) candidates per arriving dup.  The
+    join therefore considers only the ``index_bucket_cap`` LOWEST
+    doc_ids per (band_idx, band_val) — the right subset for dedup,
+    since canonical identity is min-id, so a true near-dup still
+    matches the bucket's canonical members; the cap only prunes
+    redundant links to other (already-linked) duplicates.  Same
+    deterministic convention as every other cap in this module
+    (mirrored in the DuckDB oracle; saturation observable via
+    ``lineage.dedup_drop_lineage`` over ``index_bucket_stats``).  The
+    cap window runs over the PRUNED index read — O(probed buckets),
+    not the corpus."""
     if batch_bands is None:
         batch_bands = minhash_bands(new_docs, k, bands, rows)
+    w = Window.partitionBy("band_idx", "band_val").orderBy("doc_id")
+    capped_index = (
+        index.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= index_bucket_cap)
+        .drop("_rn")
+    )
     cand_corpus = (
         batch_bands.alias("n")
-        .join(index.alias("i"), ["band_idx", "band_val"])
+        .join(capped_index.alias("i"), ["band_idx", "band_val"])
         .filter(F.col("n.doc_id") != F.col("i.doc_id"))
         .select(F.col("n.doc_id").alias("doc_a"), F.col("i.doc_id").alias("doc_b"))
     )
@@ -503,9 +526,13 @@ def incremental_neardup(
     )
     cand = cand_corpus.unionByName(cand_batch).distinct()
     # verify on candidates only: shingle just the docs that appear in a
-    # candidate pair (left_semi prune), never the whole corpus
+    # candidate pair (left_semi prune), never the whole corpus.  For a
+    # doc_id present on BOTH sides (a re-crawl), the BATCH text wins —
+    # classification verifies what just arrived, not the stale crawl.
     texts = new_docs.select("doc_id", "text").unionByName(
-        corpus_docs.select("doc_id", "text")
+        corpus_docs.select("doc_id", "text").join(
+            new_docs.select("doc_id"), "doc_id", "left_anti"
+        )
     )
     ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
@@ -524,11 +551,28 @@ def incremental_neardup(
     )
 
 
+def index_bucket_stats(
+    index: DataFrame, cap: int = INDEX_BUCKET_CAP
+) -> DataFrame:
+    """Per-(band_idx, band_val) occupancy of the persistent band index
+    + what ``index_bucket_cap`` excludes from candidate generation —
+    feed through ``lineage.dedup_drop_lineage`` per classification run
+    so cap saturation on a mass-duplicate corpus is a production
+    signal."""
+    return index.groupBy("band_idx", "band_val").agg(
+        F.count(F.lit(1)).alias("members"),
+        F.greatest(F.count(F.lit(1)) - F.lit(cap), F.lit(0)).alias(
+            "members_dropped"
+        ),
+    )
+
+
 def incremental_neardup_sql(
     threshold: float = 0.8,
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
+    index_bucket_cap: int = INDEX_BUCKET_CAP,
 ) -> str:
     """DuckDB twin: index = band rows of even doc_ids (the ingested
     corpus), new batch = odd doc_ids — same split convention as
@@ -545,7 +589,12 @@ def incremental_neardup_sql(
 WITH su AS ({_shingles_sql()}),
 sig AS (SELECT doc_id, {mins} FROM su GROUP BY doc_id),
 bands AS ({band_selects}),
-idx AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+idx AS (
+  SELECT doc_id, band_idx, band_val FROM (
+    SELECT *, row_number() OVER (PARTITION BY band_idx, band_val ORDER BY doc_id) AS _rn
+    FROM bands WHERE doc_id % 2 = 0)
+  WHERE _rn <= {index_bucket_cap}
+),
 nb AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
 cand AS (
   SELECT DISTINCT n.doc_id AS doc_a, i.doc_id AS doc_b

@@ -6,3 +6,4 @@ from chomper_spark.streaming.sources import (  # noqa: F401
     KafkaWireReplaySource,
 )
 from chomper_spark.streaming.stream import StreamingApply  # noqa: F401
+from chomper_spark.streaming.dedup_stream import StreamingNearDup  # noqa: F401

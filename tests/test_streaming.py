@@ -366,3 +366,64 @@ def test_kafka_seam_end_to_end_decode_apply_resume(spark, tmp_path):
         a3.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts"),
         c1 + c2 + c3,
     )
+
+
+def test_streaming_neardup_end_to_end_and_replay_determinism(spark, tmp_path):
+    # the continuous X40b shape: a doc feed tailed by StreamingNearDup;
+    # each micro-batch classifies against the persistent band index,
+    # appends links, and upserts bands+corpus exactly-once.
+    from chomper_spark.streaming import StreamingNearDup
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    feed = tmp_path / "feed"
+    feed.mkdir()
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(feed / name))
+
+    # batch 0: two distinct docs; batch 1: a near-dup of doc 1, an exact
+    # intra-batch pair, and an unrelated doc
+    drop("b0", [(1, base), (2, "completely different words about engines")])
+    job = StreamingNearDup(
+        spark, str(feed) + "/*", str(tmp_path / "idx"), str(tmp_path / "corpus"),
+        str(tmp_path / "links"), str(tmp_path / "ckpt"),
+        lineage_root=str(tmp_path / "lin"), n_buckets=8, max_files_per_trigger=1,
+    )
+    job.run_available()
+    assert job.read_links().count() == 0  # nothing similar in batch 0
+    drop("b1", [(10, base + " extra"), (11, base + " extra"),
+                (12, "nothing like anything else at all")])
+    job.run_available()
+    links = {(r["doc_id"], r["dup_of"]): round(r["jaccard"], 3)
+             for r in job.read_links().collect()}
+    # 10 matches corpus doc 1; 11 matches 10 (intra-batch) and 1 (corpus)
+    assert (10, 1) in links and (11, 10) in links and links[(11, 10)] == 1.0
+    assert not any(12 in pair for pair in links)
+    # lineage rows recorded per classification run
+    lin = {r["batch_id"]: r for r in job.lineage.read().collect()}
+    assert set(lin) == {0, 1} and all(r["op"] == "incremental_neardup"
+                                      for r in lin.values())
+    n_index = job.index.read().count()
+    links_before = sorted(links)
+
+    # crash-replay determinism at the nastiest point: index/corpus
+    # committed but the streaming checkpoint lost → the batch replays
+    # with its own bands already indexed.  Classification must converge
+    # to row-identical links (the (hi, lo) normalization) and the
+    # sinks must ledger-skip.
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    job2 = StreamingNearDup(
+        spark, str(feed) + "/*", str(tmp_path / "idx"), str(tmp_path / "corpus"),
+        str(tmp_path / "links"), str(tmp_path / "ckpt"),
+        lineage_root=str(tmp_path / "lin"), n_buckets=8, max_files_per_trigger=1,
+    )
+    job2.run_available()
+    links_after = sorted(
+        (r["doc_id"], r["dup_of"]) for r in job2.read_links().collect()
+    )
+    assert links_after == links_before
+    assert job2.index.read().count() == n_index  # ledger-skipped, no growth
