@@ -524,7 +524,13 @@ def incremental_neardup(
         .filter(F.col("a.doc_id") > F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
-    cand = cand_corpus.unionByName(cand_batch).distinct()
+    # the candidate pair list is referenced by every verify subtree
+    # (id projection ×2, common-shingle join, size joins) — without
+    # caching, each reference re-runs the band joins INCLUDING the
+    # index read, blowing the plan to ~180 exchanges.  Both cached
+    # frames are candidate-bounded (caps above), i.e. tiny at any
+    # corpus size.
+    cand = cand_corpus.unionByName(cand_batch).distinct().persist()
     # verify on candidates only: shingle just the docs that appear in a
     # candidate pair (left_semi prune), never the whole corpus.  For a
     # doc_id present on BOTH sides (a re-crawl), the BATCH text wins —
@@ -539,7 +545,7 @@ def incremental_neardup(
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh = shingles(texts.join(ids, "doc_id", "left_semi"))
+    sh = shingles(texts.join(ids, "doc_id", "left_semi")).persist()
     return (
         _pair_jaccard(sh, pairs_from=cand)
         .filter(F.col("jaccard") >= threshold)
