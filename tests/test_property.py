@@ -214,3 +214,84 @@ def test_random_table_lifecycle_matches_model(spark, tmp_path_factory, ops, mode
         assert_state_equals_oracle(out, model_events)
     else:
         assert out is None or out.count() == 0
+
+
+_mops = st.lists(
+    st.one_of(
+        # delta commit touching a random bucket set
+        st.tuples(st.just("delta"),
+                  st.sets(st.integers(min_value=0, max_value=4999),
+                          min_size=1, max_size=5)),
+        # forced checkpoint (maintenance-style, touched subset known)
+        st.tuples(st.just("ckpt"),
+                  st.sets(st.integers(min_value=0, max_value=4999),
+                          min_size=0, max_size=5)),
+        # bucket removals (compaction emptying buckets)
+        st.tuples(st.just("remove"),
+                  st.sets(st.integers(min_value=0, max_value=4999),
+                          min_size=1, max_size=3)),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(ops=_mops)
+def test_manifest_fold_matches_model_under_random_commits(
+    spark, tmp_path_factory, ops
+):
+    # model-based check of the MANIFEST layer alone (no Spark jobs):
+    # random interleavings of delta commits, forced sharded checkpoints
+    # and bucket removals on a WIDE (5000-bucket) table must always
+    # fold — from disk, in a fresh sink — to the same bucket map a
+    # plain dict model maintains, with the ledger watermark advancing
+    # contiguously.  Exercises delta folding, shard write/reuse/GC
+    # linkage, dirty-bucket tracking and the periodic checkpoint path
+    # together.
+    import json
+
+    root = str(tmp_path_factory.mktemp("mprop") / "t")
+    sink = SnapshotMergeSink(spark, root, n_buckets=5000,
+                             key_cols=["conv_id", "turn_idx"])
+    schema_json = json.dumps({"type": "struct", "fields": []})
+    model: dict[str, str] = {}
+    man = None
+    for i, (kind, buckets) in enumerate(ops):
+        sid = (man["snapshot_id"] + 1) if man else 0
+        new_buckets = dict(model)
+        delta_doc = {"bucket_updates": {}, "bucket_removals": [],
+                     "changes_updates": {}}
+        if kind in ("delta", "ckpt"):
+            for b in buckets:
+                rel = f"snapshots/s{sid:08d}/data/_bucket={b}"
+                new_buckets[str(b)] = rel
+                delta_doc["bucket_updates"][str(b)] = rel
+        else:
+            for b in buckets:
+                if new_buckets.pop(str(b), None) is not None:
+                    delta_doc["bucket_removals"].append(str(b))
+        new_full = {
+            "snapshot_id": sid, "batch_watermark": i, "recent_batches": [],
+            "buckets": new_buckets, "deltas": {}, "changes": {},
+            "schema": schema_json,
+            "schema_history": [{"from_snapshot": 0, "schema": schema_json}],
+            "key_cols": sink.key_cols, "bucket_cols": sink.bucket_cols,
+            "n_buckets": 5000,
+        }
+        if kind == "ckpt":
+            sink._commit(new_full, parent=man, force_full=True,
+                         touched_keys=set(delta_doc["bucket_updates"]))
+        else:
+            sink._commit(new_full, parent=man, delta_doc=delta_doc)
+        model = new_buckets
+        man = sink.current_manifest()
+        assert man["buckets"] == model
+        assert man["batch_watermark"] == i
+    # a FRESH sink folding purely from disk agrees
+    fresh = SnapshotMergeSink(spark, root)
+    m2 = fresh.current_manifest()
+    assert m2["buckets"] == model
+    assert m2["batch_watermark"] == len(ops) - 1
