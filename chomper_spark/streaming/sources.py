@@ -121,7 +121,10 @@ class KafkaFeedSource(FeedSource):
         )
         metrics = [
             F.count(F.lit(1)).alias("records_in"),
-            F.sum(corrupt.cast("long")).alias("corrupt_dropped"),
+            # coalesce: an empty micro-batch must report 0, not NULL
+            F.coalesce(F.sum(corrupt.cast("long")), F.lit(0)).alias(
+                "corrupt_dropped"
+            ),
         ]
         if raw.isStreaming:
             out = out.observe("kafka_decode", *metrics)

@@ -341,7 +341,8 @@ def test_kafka_seam_end_to_end_decode_apply_resume(spark, tmp_path):
         )
 
     a1 = app()
-    a1.run_available()  # phase 1: two micro-batches, then "crash"
+    q1 = a1.start(available_now=True)  # phase 1: two micro-batches, then "crash"
+    q1.awaitTermination()
     assert len(a1.batch_metrics) == 2
     mid = {r["conv_id"]: r["text"] for r in a1.read().collect()}
     assert mid == {"c1": "updated"}  # c2 deleted; corrupt msg dropped
@@ -366,6 +367,24 @@ def test_kafka_seam_end_to_end_decode_apply_resume(spark, tmp_path):
         a3.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts"),
         c1 + c2 + c3,
     )
+    # the decode drop counter surfaces in StreamingQueryProgress
+    # observedMetrics (phase 1 — the phase that actually APPLIED the
+    # corrupt chunk; a ledger-skipped batch runs no action, so its
+    # metrics stay empty) — the operator-facing signal that
+    # distinguishes topic corruption/schema drift from an idle feed.
+    # Counts are per-ACTION accumulations (the COW apply runs two
+    # actions per batch), so assert presence, not exact totals.
+    obs = [
+        p["observedMetrics"]["kafka_decode"]
+        for p in (
+            _json.loads(j if isinstance(j, str) else j.json)
+            for j in q1.recentProgress
+        )
+        if "kafka_decode" in p.get("observedMetrics", {})
+    ]
+    assert obs, "kafka_decode observation missing from streaming progress"
+    assert any((m["corrupt_dropped"] or 0) > 0 for m in obs)  # planted bad msg seen
+    assert all((m["records_in"] or 0) >= (m["corrupt_dropped"] or 0) for m in obs)
 
 
 def test_streaming_neardup_end_to_end_and_replay_determinism(spark, tmp_path):
