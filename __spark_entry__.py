@@ -218,6 +218,39 @@ def _q_dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.incremental_neardup(index, new_docs, corpus, batch_bands=batch_bands)
 
 
+def _q_emb_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X42 incremental EMBEDDING near-dup through the real engine: the
+    even-vec_id half's LSH bands live in a persistent vector index
+    (SnapshotMergeSink keyed (band_idx, bucket, vec_id), bucketed on
+    the band prefix); the odd half classifies against it — batch
+    signatures → capped band-join against the pruned index → exact
+    cosine on candidates only.  The embedding twin of X40b."""
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    new_emb = emb.filter(F.col("vec_id") % 2 == 1)
+    sink = SnapshotMergeSink(
+        spark,
+        tempfile.mkdtemp(prefix="chomper_spark_eidx_"),
+        n_buckets=8,
+        key_cols=["band_idx", "bucket", "vec_id"],
+        bucket_cols=["band_idx", "bucket"],
+    )
+    sink.apply_batch(
+        sim.emb_band_index_events(corpus, batch_seq=0),
+        batch_id=0,
+        collect_metrics=False,
+    )
+    batch_bands = sim._melt_bands(
+        new_emb, sim.NEARDUP_BANDS, sim.LSH_ROWS, sim.DIM
+    ).persist()
+    index = sink.read_prune_for(
+        batch_bands.select("band_idx", "bucket")
+    ).select("band_idx", "bucket", "vec_id")
+    return sim.incremental_emb_neardup(
+        index, new_emb, corpus, batch_bands=batch_bands
+    )
+
+
 def _q_tx_nested_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-path transforms over a struct-bearing feed: the dict-field
     Defaulter (chomper/processors.py:181-205) on a struct column built
@@ -724,8 +757,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": lambda s, d: mm.multimodal_resize(_docs(s, d)),
         "multimodal_frames": lambda s, d: mm.multimodal_frames(_docs(s, d)),
         # -- beyond the driver's 50-query window (still selfchecked and
-        # benched): parameter variants of operators already covered above
+        # benched): parameter variants / extensions of operators already
+        # covered above
         "asof_join_chunked": _q_asof_join_chunked,
+        "emb_incremental_neardup": _q_emb_incremental_neardup,
     }
 
 
@@ -789,6 +824,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_incremental": dd.incremental_exact_dedup_sql(),
         "dedup_incremental_neardup": dd.incremental_neardup_sql(),
+        "emb_incremental_neardup": sim.incremental_emb_neardup_sql(),
         "tx_lookup_join": (
             "SELECT o_orderkey, o_totalprice, c_name, c_mktsegment "
             "FROM orders LEFT JOIN customer ON o_custkey = c_custkey "

@@ -614,3 +614,147 @@ JOIN embeddings ea ON ea.vec_id = c.vec_a
 JOIN embeddings eb ON eb.vec_id = c.vec_b
 WHERE {stable6_sql(cos)} >= {threshold}
 """
+
+
+# ---------------------------------- incremental embedding near-dup (X42)
+
+EMB_INDEX_BUCKET_CAP = 256  # lowest vec_ids considered per band bucket
+
+
+def emb_band_index_events(
+    new_emb: DataFrame,
+    batch_seq: int,
+    bands: int = NEARDUP_BANDS,
+    rows: int = LSH_ROWS,
+    dim: int = DIM,
+) -> DataFrame:
+    """One insert event per (band_idx, bucket, vec_id) of the batch,
+    shaped for a SnapshotMergeSink keyed on those three columns and
+    BUCKETED on (band_idx, bucket) — the persistent vector-LSH index,
+    the embedding twin of ``docdedup.band_index_events``.  Index
+    maintenance inherits the exactly-once ledger; the band-prefix
+    bucketing lets an arriving batch probe only its own buckets."""
+    return _melt_bands(new_emb, bands, rows, dim).select(
+        F.lit("I").alias("op"),
+        F.to_timestamp(F.lit("2026-01-01")).alias("op_ts"),
+        F.lit(batch_seq).cast("long").alias("batch_seq"),
+        "band_idx",
+        "bucket",
+        "vec_id",
+        F.lit(batch_seq).cast("long").alias("added_batch"),
+    )
+
+
+def incremental_emb_neardup(
+    index: DataFrame,
+    new_emb: DataFrame,
+    corpus_emb: DataFrame,
+    threshold: float = 0.4,
+    bands: int = NEARDUP_BANDS,
+    rows: int = LSH_ROWS,
+    dim: int = DIM,
+    batch_bands: DataFrame | None = None,
+    index_bucket_cap: int = EMB_INDEX_BUCKET_CAP,
+) -> DataFrame:
+    """Classify a NEW batch of embeddings for near-duplicates against a
+    persistent vector-LSH bucket index — O(batch) signatures + a
+    capped band-join against the (bucketed, prunable) index + exact
+    cosine verified on candidate ids only; never a corpus scan or
+    re-index.  The embedding twin of ``docdedup.incremental_neardup``
+    with identical scale shape and cap/canonical conventions
+    (``index_bucket_cap`` lowest vec_ids per (band_idx, bucket),
+    oracle-mirrored).
+
+    Returns (vec_id, dup_of, cosine): ``vec_id`` is a batch vector,
+    ``dup_of`` a corpus vector or an earlier (lower-id) batch vector;
+    a re-ingested vec_id never matches itself, and its just-arrived
+    embedding wins the verify."""
+    if batch_bands is None:
+        batch_bands = _melt_bands(new_emb, bands, rows, dim)
+    w = Window.partitionBy("band_idx", "bucket").orderBy("vec_id")
+    capped_index = (
+        index.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= index_bucket_cap)
+        .drop("_rn")
+    )
+    cand_corpus = (
+        batch_bands.alias("n")
+        .join(capped_index.alias("i"), ["band_idx", "bucket"])
+        .filter(F.col("n.vec_id") != F.col("i.vec_id"))
+        .select(F.col("n.vec_id").alias("vec_a"), F.col("i.vec_id").alias("vec_b"))
+    )
+    cand_batch = (
+        batch_bands.alias("a")
+        .join(batch_bands.alias("b"), ["band_idx", "bucket"])
+        .filter(F.col("a.vec_id") > F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    )
+    # candidate-bounded (caps above) → tiny at any corpus size; cached
+    # so the verify's joins never re-run the band joins + index read
+    cand = cand_corpus.unionByName(cand_batch).distinct().persist()
+    vecs = new_emb.select("vec_id", "embedding").unionByName(
+        corpus_emb.select("vec_id", "embedding").join(
+            new_emb.select("vec_id"), "vec_id", "left_anti"
+        )
+    )
+    a_emb = vecs.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb"))
+    b_emb = vecs.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("n_emb"))
+    cos = _cosine_udf(dim)
+    return (
+        cand.join(a_emb, "vec_a")
+        .join(b_emb, "vec_b")
+        .select(
+            F.col("vec_a").alias("vec_id"),
+            F.col("vec_b").alias("dup_of"),
+            stable6(cos("a_emb", "n_emb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def incremental_emb_neardup_sql(
+    threshold: float = 0.4,
+    bands: int = NEARDUP_BANDS,
+    rows: int = LSH_ROWS,
+    dim: int = DIM,
+    index_bucket_cap: int = EMB_INDEX_BUCKET_CAP,
+) -> str:
+    """DuckDB twin: index = band rows of even vec_ids (the ingested
+    corpus, capped per bucket), new batch = odd vec_ids — the same
+    split convention as ``docdedup.incremental_neardup_sql``."""
+    band_cols = ", ".join(
+        f"{_band_bucket_sql(_DK, 'embedding', b, rows, dim)}::INT AS band{b}"
+        for b in range(bands)
+    )
+    melt = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_idx, band{b} AS bucket FROM sig"
+        for b in range(bands)
+    )
+    cos = _cosine_sql("a_emb", "n_emb", _DK, dim).replace(
+        "a_emb", "ea.embedding"
+    ).replace("n_emb", "eb.embedding")
+    return f"""
+WITH sig AS (SELECT vec_id, {band_cols} FROM embeddings),
+melted AS ({melt}),
+idx AS (
+  SELECT vec_id, band_idx, bucket FROM (
+    SELECT *, row_number() OVER (PARTITION BY band_idx, bucket ORDER BY vec_id) AS _rn
+    FROM melted WHERE vec_id % 2 = 0)
+  WHERE _rn <= {index_bucket_cap}
+),
+nb AS (SELECT vec_id, band_idx, bucket FROM melted WHERE vec_id % 2 = 1),
+cand AS (
+  SELECT DISTINCT n.vec_id AS vec_a, i.vec_id AS vec_b
+  FROM nb n JOIN idx i
+    ON n.band_idx = i.band_idx AND n.bucket = i.bucket AND n.vec_id <> i.vec_id
+  UNION
+  SELECT DISTINCT a.vec_id, b.vec_id
+  FROM nb a JOIN nb b
+    ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.vec_id > b.vec_id
+)
+SELECT c.vec_a AS vec_id, c.vec_b AS dup_of, {stable6_sql(cos)} AS cosine
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.vec_a
+JOIN embeddings eb ON eb.vec_id = c.vec_b
+WHERE {stable6_sql(cos)} >= {threshold}
+"""

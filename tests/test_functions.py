@@ -633,3 +633,50 @@ def test_incremental_dedup_recrawl_of_canonical_not_flagged(spark):
     out = {r["doc_id"]: r["is_duplicate"]
            for r in dd.incremental_exact_dedup(known, new).collect()}
     assert out == {11: False, 42: True}
+
+
+def test_incremental_emb_neardup_against_engine_index(spark, tmp_path):
+    # the vector-LSH index lives in the MERGE engine keyed
+    # (band_idx, bucket, vec_id), bucketed on the band prefix; an
+    # arriving embedding batch classifies in O(batch) with exact
+    # cosine verified on candidates only
+    import numpy as np
+
+    from chomper_spark.functions import similarity as sim
+    from chomper_spark.operators.merge import SnapshotMergeSink
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(0, 1, 64).astype("float32")
+    other = rng.normal(0, 1, 64).astype("float32")
+    rows = [(10, [float(x) for x in base]), (12, [float(x) for x in other])]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sink = SnapshotMergeSink(
+        spark, str(tmp_path / "eidx"), n_buckets=4,
+        key_cols=["band_idx", "bucket", "vec_id"],
+        bucket_cols=["band_idx", "bucket"],
+    )
+    sink.apply_batch(sim.emb_band_index_events(corpus, 0), 0, collect_metrics=False)
+    n_before = sink.read().count()
+    m = sink.apply_batch(sim.emb_band_index_events(corpus, 0), 0, collect_metrics=False)
+    assert m.skipped and sink.read().count() == n_before  # exactly-once
+
+    near = base + rng.normal(0, 0.02, 64).astype("float32")  # ~0.999 cosine
+    batch = spark.createDataFrame(
+        [
+            (31, [float(x) for x in near]),
+            (33, [float(x) for x in near]),       # exact intra-batch dup of 31
+            (10, [float(x) for x in base]),       # re-ingest of corpus id
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    bands = sim._melt_bands(batch, sim.NEARDUP_BANDS, sim.LSH_ROWS, sim.DIM)
+    index = sink.read_prune_for(bands.select("band_idx", "bucket")).select(
+        "band_idx", "bucket", "vec_id"
+    )
+    out = {(r["vec_id"], r["dup_of"]): r["cosine"]
+           for r in sim.incremental_emb_neardup(
+               index, batch, corpus, threshold=0.9).collect()}
+    assert (31, 10) in out and out[(31, 10)] > 0.99
+    assert out.get((33, 31)) == 1.0
+    assert (10, 10) not in out  # re-ingest never self-matches
+    assert not any(12 in k for k in out)
