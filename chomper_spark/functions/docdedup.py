@@ -43,6 +43,23 @@ SIMHASH_CHUNK_BITS = 15  # 2^15 = 32768 values per chunk (~128x the 8-bit
 #                          granularity the 32-bit design had)
 HAMMING_MAX = 3
 
+def cap_per_bucket(
+    df: DataFrame, part_cols: list[str], order_col: str, cap: int
+) -> DataFrame:
+    """THE deterministic bucket-cap convention, shared by every capped
+    candidate generator (SimHash chunks, doc/embedding LSH bands, the
+    incremental band indexes): keep the ``cap`` lowest ``order_col``
+    values per ``part_cols`` bucket.  One definition so the Spark side
+    and every DuckDB oracle (row_number() OVER (PARTITION BY …
+    ORDER BY id) <= cap) can never drift apart."""
+    w = Window.partitionBy(*part_cols).orderBy(order_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
 # ---------------------------------------------------------------- shingling
 
 
@@ -460,6 +477,7 @@ def incremental_neardup(
     rows: int = LSH_ROWS,
     batch_bands: DataFrame | None = None,
     index_bucket_cap: int = INDEX_BUCKET_CAP,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Classify a NEW batch of documents for near-duplicates against a
     persistent MinHash band index — the only near-dup shape that holds
@@ -503,14 +521,16 @@ def incremental_neardup(
     (mirrored in the DuckDB oracle; saturation observable via
     ``lineage.dedup_drop_lineage`` over ``index_bucket_stats``).  The
     cap window runs over the PRUNED index read — O(probed buckets),
-    not the corpus."""
+    not the corpus.
+
+    ``cache_registry``: the function persists two candidate-bounded
+    frames (see below); a looping caller (StreamingNearDup) passes a
+    list to collect them and unpersists after consuming the result, so
+    a long-running stream never accumulates cache entries."""
     if batch_bands is None:
         batch_bands = minhash_bands(new_docs, k, bands, rows)
-    w = Window.partitionBy("band_idx", "band_val").orderBy("doc_id")
-    capped_index = (
-        index.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= index_bucket_cap)
-        .drop("_rn")
+    capped_index = cap_per_bucket(
+        index, ["band_idx", "band_val"], "doc_id", index_bucket_cap
     )
     cand_corpus = (
         batch_bands.alias("n")
@@ -531,6 +551,8 @@ def incremental_neardup(
     # frames are candidate-bounded (caps above), i.e. tiny at any
     # corpus size.
     cand = cand_corpus.unionByName(cand_batch).distinct().persist()
+    if cache_registry is not None:
+        cache_registry.append(cand)
     # verify on candidates only: shingle just the docs that appear in a
     # candidate pair (left_semi prune), never the whole corpus.  For a
     # doc_id present on BOTH sides (a re-crawl), the BATCH text wins —
@@ -546,6 +568,8 @@ def incremental_neardup(
         .distinct()
     )
     sh = shingles(texts.join(ids, "doc_id", "left_semi")).persist()
+    if cache_registry is not None:
+        cache_registry.append(sh)
     return (
         _pair_jaccard(sh, pairs_from=cand)
         .filter(F.col("jaccard") >= threshold)
@@ -954,12 +978,8 @@ def simhash_pairs(
     silent truncation.  The capped melt carries only (doc_id, two small
     ints): the window sort that enforces the cap buffers ~16 bytes/row,
     so even a degenerate all-equal corpus stays task-sized."""
-    chunks = _simhash_chunks(docs)
-    w = Window.partitionBy("chunk_idx", "chunk_val").orderBy("doc_id")
-    capped = (
-        chunks.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= chunk_cap)
-        .drop("_rn")
+    capped = cap_per_bucket(
+        _simhash_chunks(docs), ["chunk_idx", "chunk_val"], "doc_id", chunk_cap
     )
     return (
         capped.alias("a")

@@ -274,11 +274,11 @@ def _banded(
     kept), mirrored exactly in the SQL oracle.  The melt carries ONLY
     the id + two small ints: the 64-float payload never rides the
     candidate shuffle (it is joined back by id for verification)."""
-    melted = _melt_bands(emb, bands, rows, dim)
-    w = Window.partitionBy("band_idx", "bucket").orderBy("vec_id")
-    return melted.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= cap
-    ).drop("_rn")
+    from chomper_spark.functions.docdedup import cap_per_bucket
+
+    return cap_per_bucket(
+        _melt_bands(emb, bands, rows, dim), ["band_idx", "bucket"], "vec_id", cap
+    )
 
 
 def _banded_sql(elem: str, bands: int, rows: int, dim: int, cap: int) -> str:
@@ -655,6 +655,7 @@ def incremental_emb_neardup(
     dim: int = DIM,
     batch_bands: DataFrame | None = None,
     index_bucket_cap: int = EMB_INDEX_BUCKET_CAP,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Classify a NEW batch of embeddings for near-duplicates against a
     persistent vector-LSH bucket index — O(batch) signatures + a
@@ -669,13 +670,12 @@ def incremental_emb_neardup(
     ``dup_of`` a corpus vector or an earlier (lower-id) batch vector;
     a re-ingested vec_id never matches itself, and its just-arrived
     embedding wins the verify."""
+    from chomper_spark.functions.docdedup import cap_per_bucket
+
     if batch_bands is None:
         batch_bands = _melt_bands(new_emb, bands, rows, dim)
-    w = Window.partitionBy("band_idx", "bucket").orderBy("vec_id")
-    capped_index = (
-        index.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= index_bucket_cap)
-        .drop("_rn")
+    capped_index = cap_per_bucket(
+        index, ["band_idx", "bucket"], "vec_id", index_bucket_cap
     )
     cand_corpus = (
         batch_bands.alias("n")
@@ -692,6 +692,8 @@ def incremental_emb_neardup(
     # candidate-bounded (caps above) → tiny at any corpus size; cached
     # so the verify's joins never re-run the band joins + index read
     cand = cand_corpus.unionByName(cand_batch).distinct().persist()
+    if cache_registry is not None:
+        cache_registry.append(cand)
     vecs = new_emb.select("vec_id", "embedding").unionByName(
         corpus_emb.select("vec_id", "embedding").join(
             new_emb.select("vec_id"), "vec_id", "left_anti"

@@ -80,7 +80,12 @@ class LineageTable:
             os.path.join(self.root, f"batch_id={batch_id}")
         )
 
-    def read(self) -> DataFrame:
+    def read(self) -> DataFrame | None:
+        """All appended batches as one frame; None when nothing has
+        been appended yet (zero batch dirs — a glob read would raise
+        PATH_NOT_FOUND on a healthy idle table)."""
+        if not any(d.startswith("batch_id=") for d in os.listdir(self.root)):
+            return None
         return self.spark.read.option("basePath", self.root).parquet(self.root + "/*")
 
     def expire(self, keep_batches: int) -> dict:

@@ -432,8 +432,23 @@ class SnapshotMergeSink:
         return base
 
     def current_manifest(self) -> dict | None:
-        name = self._current_name()
-        return None if name is None else self._fold_by_name(name)
+        """Folded HEAD.  Retries on a vanished ancestor: a concurrent
+        ``expire_snapshots`` may rewrite kept delta manifests in place
+        as self-contained checkpoints and then DELETE their ancestors —
+        a fold walk that started just before loses the parent file
+        mid-chain.  The rewrite lands before any deletion, so re-reading
+        HEAD always folds cleanly; bounded retries make the reader/
+        writer side of GC concurrency-safe to match the commit CAS."""
+        for _ in range(_COMMIT_RETRIES):
+            name = self._current_name()
+            if name is None:
+                return None
+            try:
+                return self._fold_by_name(name)
+            except FileNotFoundError:
+                self._fold_cache = None
+                continue
+        return self._fold_by_name(self._current_name())
 
     def committed_batches(self) -> set:
         """Diagnostic helper (tests / small tables): MATERIALIZES the
@@ -1730,7 +1745,9 @@ class SnapshotMergeSink:
         )
         return {"buckets_compacted": len(to_compact), "delta_refs_folded": n_refs}
 
-    def expire_snapshots(self, keep_manifests: int = 3) -> dict:
+    def expire_snapshots(
+        self, keep_manifests: int = 3, orphan_age_seconds: int = 86_400
+    ) -> dict:
         """Garbage-collect snapshot data no longer reachable.
 
         A continuous stream commits one snapshot per micro-batch; without
@@ -1739,7 +1756,19 @@ class SnapshotMergeSink:
         old snapshot may still be live — only snapshot dirs referenced by
         no retained manifest are deleted.  (Iceberg's expire_snapshots is
         the managed-catalog equivalent.)  Returns {snapshots_removed,
-        manifests_removed, bytes_freed}."""
+        manifests_removed, bytes_freed}.
+
+        ``orphan_age_seconds`` — the contract for cleaning ABOVE-HEAD
+        debris (claimed snapshot dirs, checkpoint shard files,
+        manifest-content temps that no committed manifest references):
+        such a path might belong to a writer whose commit has not
+        landed yet, so it is deleted only when older than this.  Like
+        Iceberg's remove_orphan_files ``older_than``, it MUST exceed
+        the longest possible in-flight write (claim-to-commit time);
+        the 24 h default leaves orders of magnitude of headroom over
+        any realistic micro-batch or compaction.  Below-HEAD
+        unreferenced dirs need no age guard — a live writer only ever
+        writes under claims above every committed dir id."""
         import shutil as _shutil
 
         mdir = os.path.join(self.root, "manifests")
@@ -1758,8 +1787,12 @@ class SnapshotMergeSink:
         # self-contained checkpoint (atomic replace, same name/id)
         # BEFORE deleting anything — afterwards every kept manifest
         # stands alone, so ancestor files and the stale data they pinned
-        # are all collectible.  Single-maintenance-writer assumption, as
-        # before: a reader racing the replace follows _CURRENT and sees
+        # are all collectible.  Concurrency: commits race via the CAS
+        # (_write_manifest), and a reader/writer whose fold walk loses
+        # an ancestor to the deletions below retries from HEAD
+        # (current_manifest), which the rewrite has made
+        # self-contained.  A reader racing the replace follows HEAD and
+        # sees
         # either the delta (parents still on disk) or the checkpoint.
         for name in sorted(keep):
             try:
@@ -1848,7 +1881,7 @@ class SnapshotMergeSink:
             dm = _SNAP_DIR_RE.match(d)
             if dm is not None and int(dm.group(1)) > max_live:
                 try:
-                    if _time.time() - os.path.getmtime(full) <= 3600:
+                    if _time.time() - os.path.getmtime(full) <= orphan_age_seconds:
                         continue  # possibly a live writer's claim
                 except OSError:
                     continue
@@ -1864,7 +1897,7 @@ class SnapshotMergeSink:
         for f in os.listdir(mdir):
             fp = os.path.join(mdir, f)
             try:
-                stale = _time.time() - os.path.getmtime(fp) > 3600
+                stale = _time.time() - os.path.getmtime(fp) > orphan_age_seconds
             except OSError:
                 continue
             if f.endswith(".inflight") and stale:
@@ -1879,7 +1912,7 @@ class SnapshotMergeSink:
                 if f"shards/{f}" in live_shards:
                     continue
                 try:
-                    if _time.time() - os.path.getmtime(fp) > 3600:
+                    if _time.time() - os.path.getmtime(fp) > orphan_age_seconds:
                         stats["bytes_freed"] += os.path.getsize(fp)
                         os.remove(fp)
                 except OSError:

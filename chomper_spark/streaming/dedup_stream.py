@@ -75,8 +75,8 @@ class StreamingNearDup:
             bucket_cols=["band_idx", "band_val"],
         )
         # corpus text keyed on doc_id: verification point-reads
-        # candidate texts from here (update_only_nulls pins the first
-        # crawl's text as canonical for a re-crawled id)
+        # candidate texts from here; latest-wins so a re-crawl's new
+        # text replaces the old (see _commit_batch)
         self.corpus = SnapshotMergeSink(
             spark, corpus_root, n_buckets=n_buckets, key_cols=["doc_id"]
         )
@@ -109,82 +109,93 @@ class StreamingNearDup:
         # never re-classify.
         done = _ledger_contains(self.index.current_manifest(), batch_id)
         if done:
-            self.index.apply_batch(
-                dd.band_index_events(docs, batch_seq=batch_id),
-                batch_id=batch_id,
-                collect_metrics=False,
-            )
-            self.corpus.apply_batch(
-                self._doc_events(docs, batch_id),
-                batch_id=batch_id,
-                update_only_nulls=True,
-                collect_metrics=False,
-            )
+            # both commits ledger-skip individually (covers a crash
+            # between the index commit and the corpus commit)
+            self._commit_batch(docs, batch_id)
             return
-        bands = dd.minhash_bands(docs).persist()
-        probe = bands.select("band_idx", "band_val")
-        index_rows = self.index.read_prune_for(probe)
-        if index_rows is None:
-            index_rows = self.spark.createDataFrame(
-                [], "band_idx int, band_val string, doc_id long"
+        caches: list = []
+        try:
+            bands = dd.minhash_bands(docs).persist()
+            caches.append(bands)
+            probe = bands.select("band_idx", "band_val")
+            index_rows = self.index.read_prune_for(probe)
+            if index_rows is None:
+                index_rows = self.spark.createDataFrame(
+                    [], "band_idx int, band_val string, doc_id long"
+                )
+            # three consumers (corpus-prune collect, candidate join,
+            # bucket-stats lineage) — cache the pruned read once
+            index_rows = index_rows.select(
+                "band_idx", "band_val", "doc_id"
+            ).persist()
+            caches.append(index_rows)
+            if self.corpus.current_manifest() is None:
+                corpus_docs = self.spark.createDataFrame([], DOC_FEED_SCHEMA)
+            else:
+                # verification only needs candidate texts; prune the
+                # corpus read to the buckets any probed index doc_id
+                # hashes to
+                corpus_docs = self.corpus.read_prune_for(
+                    index_rows.select("doc_id")
+                ) or self.spark.createDataFrame([], DOC_FEED_SCHEMA)
+            raw = dd.incremental_neardup(
+                index_rows,
+                docs,
+                corpus_docs.select("doc_id", "text"),
+                threshold=self.threshold,
+                batch_bands=bands,
+                index_bucket_cap=self.index_bucket_cap,
+                cache_registry=caches,
             )
-        index_rows = index_rows.select("band_idx", "band_val", "doc_id")
-        corpus_docs = self.corpus.read()
-        if corpus_docs is None:
-            corpus_docs = self.spark.createDataFrame([], DOC_FEED_SCHEMA)
-        else:
-            # verification only needs candidate texts; prune the corpus
-            # read to the buckets any probed index doc_id hashes to
-            corpus_docs = self.corpus.read_prune_for(
-                index_rows.select("doc_id")
-            ) or self.spark.createDataFrame([], DOC_FEED_SCHEMA)
-        raw = dd.incremental_neardup(
-            index_rows,
-            docs,
-            corpus_docs.select("doc_id", "text"),
-            threshold=self.threshold,
-            batch_bands=bands,
-            index_bucket_cap=self.index_bucket_cap,
-        )
-        # normalize to (hi, lo): a crash AFTER the index commit but
-        # BEFORE the streaming checkpoint replays this batch with its
-        # own bands already indexed — intra-batch pairs then surface
-        # through the index join in BOTH directions.  (hi, lo) +
-        # distinct makes the replayed output row-identical to the
-        # original, keeping the links table deterministic across every
-        # crash point.
-        links = (
-            raw.select(
-                F.greatest("doc_id", "dup_of").alias("doc_id"),
-                F.least("doc_id", "dup_of").alias("dup_of"),
-                "jaccard",
+            # canonicalize each symmetric link to (hi, lo) and collapse
+            # duplicates — corpus hits and intra-batch hits of the same
+            # pair become one row
+            links = (
+                raw.select(
+                    F.greatest("doc_id", "dup_of").alias("doc_id"),
+                    F.least("doc_id", "dup_of").alias("dup_of"),
+                    "jaccard",
+                )
+                .distinct()
+                .withColumn("batch_id", F.lit(batch_id).cast("long"))
             )
-            .distinct()
-            .withColumn("batch_id", F.lit(batch_id).cast("long"))
-        )
-        # links land BEFORE the index/corpus commits: a crash between
-        # them replays the batch (ledgers unchanged), overwriting the
-        # same links dir — idempotent either way
-        self.links.append(links, batch_id)
-        if self.lineage is not None:
-            record_dedup_run(
-                self.lineage,
-                dd.index_bucket_stats(index_rows, cap=self.index_bucket_cap),
-                batch_id,
-                op="incremental_neardup",
-            )
+            # links land BEFORE the index/corpus commits: a crash
+            # between them replays the batch with ledgers unchanged,
+            # re-classifying against the identical pre-batch index and
+            # overwriting the same links dir — idempotent either way
+            self.links.append(links, batch_id)
+            if self.lineage is not None:
+                record_dedup_run(
+                    self.lineage,
+                    dd.index_bucket_stats(index_rows, cap=self.index_bucket_cap),
+                    batch_id,
+                    op="incremental_neardup",
+                )
+            self._commit_batch(docs, batch_id)
+        finally:
+            # a continuous stream must not accumulate cache entries —
+            # every frame persisted for this batch is released here
+            for df in caches:
+                df.unpersist()
+
+    def _commit_batch(self, docs, batch_id: int) -> None:
         self.index.apply_batch(
             dd.band_index_events(docs, batch_seq=batch_id),
             batch_id=batch_id,
             collect_metrics=False,
         )
+        # corpus text is LATEST-WINS on purpose: a re-crawled doc_id's
+        # new text replaces the old, keeping verification aligned with
+        # the bands the batch just indexed (pinning the first crawl via
+        # update_only_nulls would band-match on the new text but
+        # Jaccard-verify against the old — silently dropping true
+        # links).  The old text's bands linger in the index as stale
+        # candidates; they simply fail the verify against current text.
         self.corpus.apply_batch(
             self._doc_events(docs, batch_id),
             batch_id=batch_id,
-            update_only_nulls=True,
             collect_metrics=False,
         )
-        bands.unpersist()
 
     def start(self, available_now: bool = True, processing_time: str | None = None):
         stream = (

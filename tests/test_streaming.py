@@ -446,3 +446,39 @@ def test_streaming_neardup_end_to_end_and_replay_determinism(spark, tmp_path):
     )
     assert links_after == links_before
     assert job2.index.read().count() == n_index  # ledger-skipped, no growth
+
+
+def test_streaming_neardup_recrawl_updates_corpus_text(spark, tmp_path):
+    # review-found divergence (round 5): a re-crawled doc_id with NEW
+    # text must update the corpus (latest-wins), so a later doc similar
+    # to the NEW text both band-matches AND survives the Jaccard verify
+    # — pinning the first crawl would silently drop the true link.
+    from chomper_spark.streaming import StreamingNearDup
+
+    text_a = " ".join(f"aaa{i}" for i in range(30))
+    text_b = " ".join(f"bbb{i}" for i in range(30))
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(feed / name))
+
+    job_args = (
+        spark, str(feed) + "/*", str(tmp_path / "idx"), str(tmp_path / "corpus"),
+        str(tmp_path / "links"), str(tmp_path / "ckpt"),
+    )
+    drop("b0", [(5, text_a)])
+    StreamingNearDup(*job_args, n_buckets=8).run_available()
+    drop("b1", [(5, text_b)])  # re-crawl: content changed entirely
+    StreamingNearDup(*job_args, n_buckets=8).run_available()
+    drop("b2", [(99, text_b + " extra")])  # near-dup of the NEW text
+    job = StreamingNearDup(*job_args, n_buckets=8)
+    job.run_available()
+    links = {(r["doc_id"], r["dup_of"]) for r in job.read_links().collect()}
+    assert (99, 5) in links  # verified against the re-crawled text
+    # corpus holds the new text
+    row = job.corpus.read_keys([(5,)]).collect()
+    assert row and row[0]["text"] == text_b
