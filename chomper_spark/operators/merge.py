@@ -1146,6 +1146,18 @@ class SnapshotMergeSink:
             update_only_nulls or not insert_missing or protected or listen_fields
             or self.audit_timestamps
         )
+        # fast COW path (round 6, guide §2.4/§3): a plain apply (no
+        # pre-image-dependent mode, no per-arm metrics) does not need
+        # the full-outer join at all — ``take_src`` is "source wins iff
+        # strictly newer by (op_ts, batch_seq)", which over a total
+        # version order is exactly the latest-wins reduce the MOR read
+        # side already runs.  union(target-state, batch-state) →
+        # repartition(_bucket) → partition-aligned max_by aggregate
+        # replaces [Exchange(src keys) + Exchange(tgt keys) + 2 Sorts +
+        # SortMergeJoin FullOuter + Exchange(_bucket)] with ONE
+        # exchange, and subsumes the separate batch dedup aggregate
+        # (map-side partial agg collapses intra-batch dupes pre-shuffle).
+        fast = not special and not collect_metrics and not emit_change_rows
         if self.write_mode == "mor":
             if special:
                 raise ValueError(
@@ -1169,15 +1181,21 @@ class SnapshotMergeSink:
             # write job)
             projected = projected.observe(obs_in, F.count(F.lit(1)).alias("n"))
 
-        # -- dedup latest-wins inside the batch: max_by aggregate (map-side
-        # combine collapses dupes pre-shuffle; the window/row_number form
-        # in operators/dedup.py is semantically identical)
-        src = dedup_latest_agg(
-            projected, self.key_cols, [S.META_OP_TS, S.META_BATCH_SEQ]
-        )
-        if collect_metrics:
-            src = src.observe(obs_merge, F.count(F.lit(1)).alias("n"))
-        src = src.persist()
+        if fast:
+            # the union reduce below dedups the batch in the same job —
+            # persist the raw projection, skip the separate aggregate
+            src = projected.persist()
+        else:
+            # -- dedup latest-wins inside the batch: max_by aggregate
+            # (map-side combine collapses dupes pre-shuffle; the
+            # window/row_number form in operators/dedup.py is
+            # semantically identical)
+            src = dedup_latest_agg(
+                projected, self.key_cols, [S.META_OP_TS, S.META_BATCH_SEQ]
+            )
+            if collect_metrics:
+                src = src.observe(obs_merge, F.count(F.lit(1)).alias("n"))
+            src = src.persist()
         # -- bucket pruning: only read/rewrite the buckets this batch
         # touches.  This collect also materializes the (cached) dedup and
         # populates the events_in / merge_rows observations for free.
@@ -1204,7 +1222,45 @@ class SnapshotMergeSink:
             else []
         )
 
-        if tgt is None:
+        if fast:
+            src_state = src.select(
+                *payload_cols,
+                F.col(S.META_OP_TS),
+                F.col(S.META_BATCH_SEQ),
+                (F.col(S.OP_COL) == "D").alias(S.META_DELETED),
+                F.col(_BUCKET),
+            )
+            if tgt is None:
+                unioned = src_state
+            else:
+                tgt_state = align_to_schema(tgt, state_schema).withColumn(
+                    _BUCKET, self._bucket_expr()
+                )
+                unioned = tgt_state.unionByName(src_state)
+            rest = [c for c in unioned.columns if c not in (*self.key_cols, _BUCKET)]
+            if self.compact_on_write:
+                # the same exchange the write needs; HashPartitioning on
+                # _bucket satisfies the aggregate's clustering on
+                # (_bucket, *keys), so the reduce adds NO second exchange
+                # and the write consumes it partition-aligned
+                unioned = unioned.repartition(
+                    min(self.n_buckets, max(1, len(touched))), _BUCKET
+                )
+            merged = (
+                unioned.groupBy(_BUCKET, *self.key_cols)
+                .agg(
+                    F.max_by(
+                        F.struct(*[F.col(c) for c in rest]),
+                        F.struct(F.col(S.META_OP_TS), F.col(S.META_BATCH_SEQ)),
+                    ).alias("_r")
+                )
+                .select(
+                    *self.key_cols,
+                    *[F.col(f"_r.{c}").alias(c) for c in rest],
+                    F.col(_BUCKET),
+                )
+            )
+        elif tgt is None:
             merged = src.select(
                 *payload_cols,
                 *audit_cols,
@@ -1366,7 +1422,9 @@ class SnapshotMergeSink:
         rel_data = f"snapshots/s{dir_id:08d}/data"
         out_path = os.path.join(self.root, rel_data)
         merged = align_to_schema(merged, T.StructType(state_schema.fields + [T.StructField(_BUCKET, T.IntegerType(), False)]))
-        if self.compact_on_write:
+        if self.compact_on_write and not fast:
+            # the fast path repartitioned BEFORE its reduce (same
+            # exchange, partition-aligned through the aggregate)
             merged = merged.repartition(min(self.n_buckets, max(1, len(touched))), _BUCKET)
         merged.write.mode("overwrite").partitionBy(_BUCKET).parquet(out_path)
         src.unpersist()

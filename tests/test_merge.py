@@ -372,15 +372,73 @@ def test_collect_metrics_adds_no_extra_jobs(spark, tmp_table):
         for metrics_on in (False, True):
             root = f"{tmp_table}_{mode}_{metrics_on}"
             sink = SnapshotMergeSink(spark, root, n_buckets=4, write_mode=mode)
+            # COW: pin the pre-image join path on both sides (protected
+            # forces it) — a plain metrics-off apply takes the round-6
+            # union-reduce fast path, which has fewer jobs by design
+            kw = {"protected": ("role",)} if mode == "cow" else {}
             sink.apply_batch(feed_df(spark, events), batch_id=0,
-                             collect_metrics=metrics_on)
+                             collect_metrics=metrics_on, **kw)
             counts[metrics_on] = n_jobs(
                 lambda: sink.apply_batch(
                     feed_df(spark, [ev("U", "c1", 1, 100 + i) for i in range(8)]),
-                    batch_id=1, collect_metrics=metrics_on,
+                    batch_id=1, collect_metrics=metrics_on, **kw,
                 )
             )
         assert counts[True] == counts[False], (mode, counts)
+
+
+def test_fast_cow_path_matches_join_path_state(spark, tmp_table):
+    # round-6 fast COW path (plain apply → union + latest-wins reduce)
+    # must produce the exact same table as the pre-image join path
+    # (pinned via collect_metrics=True) across batches exercising
+    # inserts, updates, deletes, intra-batch dupes, out-of-order
+    # events, and upsert-on-missing.
+    batches = [
+        [ev("I", "c1", 0, 1), ev("I", "c1", 1, 2), ev("U", "c1", 0, 3, text="dup"),
+         ev("U", "c1", 0, 4, text="dup2"), ev("I", "c2", 0, 5)],
+        [ev("D", "c1", 1, 6), ev("U", "c3", 2, 7), ev("U", "c2", 0, 8, text="upd")],
+        # late event: older op_ts than the applied state → must lose
+        [ev("U", "c1", 0, 9, secs=2, text="stale"), ev("I", "c1", 1, 10)],
+    ]
+    fast = SnapshotMergeSink(spark, tmp_table + "_fast", n_buckets=4)
+    slow = SnapshotMergeSink(spark, tmp_table + "_slow", n_buckets=4)
+    for b, events in enumerate(batches):
+        fast.apply_batch(feed_df(spark, events), batch_id=b, collect_metrics=False)
+        slow.apply_batch(feed_df(spark, events), batch_id=b, collect_metrics=True)
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    got_f = fast.read().toPandas().sort_values(cols[:2]).reset_index(drop=True)
+    got_s = slow.read().toPandas().sort_values(cols[:2]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_f[cols], got_s[cols])
+
+
+def test_fast_cow_write_plan_single_exchange_no_join(spark, tmp_table):
+    # the fast path's write job: ONE exchange (on _bucket), no
+    # SortMergeJoin — captured by hooking the parquet writer.
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    sink = SnapshotMergeSink(spark, tmp_table, n_buckets=4)
+    sink.apply_batch(
+        feed_df(spark, [ev("I", f"c{i}", i % 4, i) for i in range(32)]),
+        batch_id=0, collect_metrics=False,
+    )
+    plans: list[str] = []
+    orig = DataFrameWriter.parquet
+
+    def hooked(self, path, **kw):
+        plans.append(self._df._jdf.queryExecution().executedPlan().toString())
+        return orig(self, path, **kw)
+
+    DataFrameWriter.parquet = hooked
+    try:
+        sink.apply_batch(
+            feed_df(spark, [ev("U", f"c{i}", i % 4, 100 + i) for i in range(16)]),
+            batch_id=1, collect_metrics=False,
+        )
+    finally:
+        DataFrameWriter.parquet = orig
+    assert len(plans) == 1
+    assert plans[0].count("Exchange") == 1, plans[0]
+    assert "SortMergeJoin" not in plans[0], plans[0]
 
 
 def test_metrics_values_unchanged_by_observe_rework(spark, tmp_table):
