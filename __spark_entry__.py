@@ -684,11 +684,21 @@ def _q_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-row-group corpora scan on ONE task — spread before the
+    # (heavy) shingling/hash stages; no-op on many-file tables
+    from chomper_spark.sources.feed import ensure_scan_parallelism
+
+    return ensure_scan_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), spark
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from chomper_spark.sources.feed import ensure_scan_parallelism
+
+    return ensure_scan_parallelism(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), spark
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

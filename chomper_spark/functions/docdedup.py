@@ -200,14 +200,88 @@ def ngram_jaccard_pairs(
         .select("shingle")
     )
     rare = sh.join(rare_shingles, "shingle", "left_semi")
-    cand = (
+    # Round-6 verify restructure (guide §1.2 "the distributed
+    # algorithm"): the candidate self-join already yields, per pair,
+    # the number of shared RARE shingles (count instead of distinct —
+    # same join, same shuffle).  Exact common = common_rare +
+    # common_hot, and common_hot ≤ min(hot_a, hot_b) where hot_x is
+    # doc x's count of capped-out (df > max_df) shingles.  Jaccard is
+    # monotone in common for fixed sizes, so
+    #   ub = (common_rare + min(hot_a, hot_b)) /
+    #        (n_a + n_b - common_rare - min(hot_a, hot_b))
+    # is a TRUE upper bound — pairs with ub < threshold are pruned
+    # without computing exact Jaccard (identical result set: only the
+    # work is skipped, never a qualifying pair).  The exact verify for
+    # the (few) survivors joins ONLY the hot-shingle occurrences —
+    # replacing the former full-shingle-set join of EVERY candidate
+    # pair (the measured 70%+ of this query's runtime: ~1.1M candidate
+    # pairs × ~50 shingles each at sf0.1, of which 256 survive).
+    pair_rare = (
         rare.alias("a")
         .join(rare.alias("b"), "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("_common_rare"))
     )
-    return _pair_jaccard(sh, pairs_from=cand).filter(F.col("jaccard") >= threshold)
+    sizes = (
+        sh.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+        .join(
+            rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n_rare")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "n_sh",
+            (F.col("n_sh") - F.coalesce(F.col("_n_rare"), F.lit(0))).alias("_n_hot"),
+        )
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_sh").alias("n_a"),
+        F.col("_n_hot").alias("_hot_a"),
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_sh").alias("n_b"),
+        F.col("_n_hot").alias("_hot_b"),
+    )
+    ub_common = F.col("_common_rare") + F.least(F.col("_hot_a"), F.col("_hot_b"))
+    survivors = (
+        pair_rare.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            ub_common.cast("double")
+            / (F.col("n_a") + F.col("n_b") - ub_common).cast("double")
+            >= F.lit(threshold) - F.lit(1e-9)
+        )
+    )
+    hot_sh = sh.join(rare_shingles, "shingle", "left_anti")
+    hot_common = (
+        survivors.select("doc_a", "doc_b")
+        .join(hot_sh.alias("ha"), F.col("doc_a") == F.col("ha.doc_id"))
+        .join(
+            hot_sh.alias("hb"),
+            (F.col("doc_b") == F.col("hb.doc_id"))
+            & (F.col("ha.shingle") == F.col("hb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_common_hot"))
+    )
+    common = F.col("_common_rare") + F.coalesce(F.col("_common_hot"), F.lit(0))
+    return (
+        survivors.join(hot_common, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            stable6(
+                common.cast("double")
+                / (F.col("n_a") + F.col("n_b") - common).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def ngram_jaccard_sql(threshold: float = 0.8, max_df: int = MAX_SHINGLE_DF) -> str:
@@ -293,6 +367,59 @@ def minhash_bands(
     )
 
 
+def shingle_sets(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, shingles: array<string>) — each doc's DISTINCT shingle
+    set in ONE shuffle: explode + collect_set (the set dedups, so no
+    separate DISTINCT exchange).  The compact per-doc form that lets
+    signatures become projections and pair verification become an
+    array intersection (round 6, guide §2.3: shuffle sets once instead
+    of re-exploding per consumer)."""
+    sh = F.expr(
+        f"transform(sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 1)), "
+        f"i -> array_join(slice(split(text, ' '), i, {n}), ' '))"
+    )
+    return (
+        docs.select("doc_id", F.explode(sh).alias("shingle"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("shingles"))
+    )
+
+
+def _pair_jaccard_sets(cand: DataFrame, sets: DataFrame) -> DataFrame:
+    """Exact Jaccard for (doc_a, doc_b) pairs from per-doc shingle-set
+    arrays: common = |array_intersect| — identical to the exploded
+    shared-shingle count, computed in one codegen'd expression per pair
+    instead of a candidate × shingle join + re-aggregate."""
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("_sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("_sh_b"))
+    common = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
+    denom = F.size(F.col("_sh_a")) + F.size(F.col("_sh_b")) - common
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            stable6(common.cast("double") / denom.cast("double")).alias("jaccard"),
+        )
+    )
+
+
+def _signature_cols(k: int):
+    """MinHash signature columns from a ``shingles`` set array — a pure
+    projection (array_min over per-salt md5 transforms), no shuffle;
+    value-identical to ``minhash_signatures``'s groupBy-min."""
+    return [
+        F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)),
+            )
+        ).alias(f"h{i}")
+        for i in range(k)
+    ]
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     k: int = MINHASH_K,
@@ -301,8 +428,29 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash+LSH near-dup: candidates = pairs agreeing on ≥1 band,
     verified with exact Jaccard (computed only for candidates — this is
-    the scale path: candidate count ≪ n²)."""
-    melted = minhash_bands(docs, k, bands, rows)
+    the scale path: candidate count ≪ n²).
+
+    Round-6 shape: ONE explode+collect_set shuffle produces per-doc
+    shingle-set arrays; signatures/bands are projections over it, and
+    the candidate verify intersects the two arrays directly — the
+    former plan re-exploded the corpus into (doc_id, shingle) rows four
+    times (signature build, size join ×2, shared-shingle count join)."""
+    sets = shingle_sets(docs)
+    sig = sets.select("doc_id", *_signature_cols(k))
+    banded = sig.select("doc_id", *_band_cols(k, bands, rows))
+    melted = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_val")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", F.col("bv.band_idx").alias("band_idx"), F.col("bv.band_val").alias("band_val"))
     cand = (
         melted.alias("a")
         .join(melted.alias("b"), ["band_idx", "band_val"])
@@ -310,7 +458,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _pair_jaccard(shingles(docs), pairs_from=cand)
+    return _pair_jaccard_sets(cand, sets)
 
 
 def minhash_lsh_sql(
@@ -810,6 +958,15 @@ def dedup_clusters(
         .persist()
     )
     try:
+        # convergence probe: labels can only DECREASE (least of self and
+        # neighbors), so a round changed something iff the label sum
+        # dropped — one aggregate riding the materialization of the new
+        # labels cache, instead of a second join-and-count job per round
+        # (decimal sum: 10^10 nodes × int64-sized ids overflows BIGINT).
+        label_sum = lambda df: df.agg(  # noqa: E731
+            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+        prev_sum = label_sum(labels)
         for _ in range(max_iters):
             neigh = (
                 edges.join(
@@ -831,16 +988,12 @@ def dedup_clusters(
                 )
                 .persist()
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-                .count()
-            )
+            new_sum = label_sum(new_labels)
             labels.unpersist()
             labels = new_labels
-            if changed == 0:
+            if new_sum == prev_sum:
                 break
+            prev_sum = new_sum
         else:
             if algorithm == "label":
                 raise RuntimeError(

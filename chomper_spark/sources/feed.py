@@ -43,10 +43,29 @@ FROM {events}
 """
 
 
+def ensure_scan_parallelism(
+    df: DataFrame, spark: SparkSession, min_partitions: int | None = None
+) -> DataFrame:
+    """Input-skew guard (optimization guide §2.5): a table that lands in
+    a handful of parquet row groups scans on that many tasks, so every
+    downstream per-row stage (reshape, shingling, hashing, the persisted
+    feed cache) runs near-serial no matter how many cores exist.  When —
+    and only when — the scan has fewer splits than the session's
+    parallelism, repartition right after the read.  A production-scale
+    table with many files/row-groups passes through UNTOUCHED (no
+    shuffle added); the repartition fires exactly in the degenerate
+    single-file case the guide calls out."""
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def change_feed_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reshape the driver's ``events`` parquet into a CHANGE_EVENT feed."""
     path = f"{sf_dir}/events.parquet"
-    spark.read.parquet(path).createOrReplaceTempView("_cs_events")
+    raw = ensure_scan_parallelism(spark.read.parquet(path), spark)
+    raw.createOrReplaceTempView("_cs_events")
     # Spark's VARCHAR in cast is accepted as alias of STRING.
     return spark.sql(RESHAPE_SQL.format(events="_cs_events"))
 

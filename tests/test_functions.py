@@ -407,6 +407,31 @@ def test_ngram_jaccard_df_cap_bounds_candidates(spark):
     assert cand.count() == 1  # only the planted near-dup pair
 
 
+def test_ngram_jaccard_hot_shingle_common_is_exact(spark):
+    # round-6 verify restructure: exact common = common_rare +
+    # common_hot.  Plant a qualifying pair whose overlap INCLUDES
+    # capped-out (hot) shingles, and check the emitted jaccard equals
+    # the direct full-shingle-set computation.
+    hot = "x y z w"  # shingles "x y z", "y z w" appear in every doc → hot
+    docs = spark.createDataFrame(
+        [(i, f"{hot} u{i} v{i}") for i in range(10)]
+        + [(100, f"{hot} same1 same2 same3"), (101, f"{hot} same1 same2 same3")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.8, max_df=5).collect()
+    }
+    # ground truth via the unrestricted exact-Jaccard helper
+    sh = dd.shingles(docs)
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd._pair_jaccard(sh).filter(F.col("jaccard") >= 0.8).collect()
+        if (r["doc_a"], r["doc_b"]) == (100, 101)
+    }
+    assert out == exact and out[(100, 101)] == 1.0
+
+
 def test_multimodal_plumbing_fake_decode(spark):
     out = mm.multimodal_features(_docs(spark), fake_decode=True)
     rows = {r["doc_id"]: r for r in out.collect()}
