@@ -684,21 +684,23 @@ def _q_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # single-row-group corpora scan on ONE task — spread before the
-    # (heavy) shingling/hash stages; no-op on many-file tables
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with the single-row-group scan spread across cores —
+    ONLY for the per-row-HEAVY pipelines (per-position hashing,
+    shingling): on trivial projections and Arrow/pandas paths the extra
+    exchange costs more than the serial scan saves (measured; see
+    OPTIMIZATION_r06.md).  No-op on many-file tables."""
     from chomper_spark.sources.feed import ensure_scan_parallelism
 
-    return ensure_scan_parallelism(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), spark
-    )
+    path = f"{sf_dir}/documents.parquet"
+    return ensure_scan_parallelism(spark.read.parquet(path), spark, path=path)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from chomper_spark.sources.feed import ensure_scan_parallelism
-
-    return ensure_scan_parallelism(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), spark
-    )
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -741,14 +743,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": lambda s, d: txt.token_stats(_docs(s, d)),
         "text_quality_score": lambda s, d: txt.quality_score(_docs(s, d)),
         "text_lang_id": lambda s, d: txt.lang_id(_docs(s, d)),
-        "text_fingerprint": lambda s, d: txt.fingerprint(_docs(s, d)),
-        "text_repetition_stats": lambda s, d: txt.repetition_stats(_docs(s, d)),
+        "text_fingerprint": lambda s, d: txt.fingerprint(_docs_par(s, d)),
+        "text_repetition_stats": lambda s, d: txt.repetition_stats(_docs_par(s, d)),
         "text_redact_pii": lambda s, d: txt.redact_pii(_docs(s, d)),
         "dedup_exact": lambda s, d: dd.exact_dedup(_docs(s, d)),
-        "dedup_ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(_docs(s, d)),
-        "dedup_minhash_lsh": lambda s, d: dd.minhash_lsh_pairs(_docs(s, d)),
+        "dedup_ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(_docs_par(s, d)),
+        "dedup_minhash_lsh": lambda s, d: dd.minhash_lsh_pairs(_docs_par(s, d)),
         "dedup_clusters": lambda s, d: dd.dedup_clusters(
-            dd.minhash_lsh_pairs(_docs(s, d)).filter(F.col("jaccard") >= 0.8)
+            dd.minhash_lsh_pairs(_docs_par(s, d)).filter(F.col("jaccard") >= 0.8)
         ),
         "dedup_simhash": lambda s, d: dd.simhash(_docs(s, d)),
         "dedup_simhash_pairs": lambda s, d: dd.simhash_pairs(_docs(s, d)),
@@ -762,7 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), {"en": 0.3, "de": 0.8}
         ),
         "curation_pack_chunks": lambda s, d: cur.pack_chunks(_docs(s, d)),
-        "curation_decontaminate": lambda s, d: cur.decontaminate(_docs(s, d)),
+        "curation_decontaminate": lambda s, d: cur.decontaminate(_docs_par(s, d)),
         "multimodal_features": lambda s, d: mm.multimodal_features(_docs(s, d)),
         "multimodal_resize": lambda s, d: mm.multimodal_resize(_docs(s, d)),
         "multimodal_frames": lambda s, d: mm.multimodal_frames(_docs(s, d)),

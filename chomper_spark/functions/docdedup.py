@@ -910,11 +910,16 @@ def dedup_clusters(
     in ≥1 pair; cluster_id = min doc_id of the component."""
     if algorithm not in ("auto", "star", "label"):
         raise ValueError(f"algorithm must be auto|star|label, got {algorithm!r}")
-    # persist the projected pairs ONCE: the edge set and the self-loop
-    # check both derive from it, and the caller's pairs plan is
-    # typically an expensive candidate pipeline (MinHash/LSH) that must
-    # not be recomputed per consumer
+    # persist the projected pairs ONCE and materialize EAGERLY: the
+    # edge set and the self-loop check both derive from it, and the
+    # caller's pairs plan is typically an expensive candidate pipeline
+    # (MinHash/LSH) that must not be recomputed per consumer.  Eager
+    # matters: the first loop round otherwise fans out into concurrent
+    # broadcast-exchange builds that each race to compute the still-
+    # cold cache, re-running the candidate pipeline several times in
+    # parallel (measured 6s → 25-100s bimodal wall on the same input).
     e = pairs.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst")).persist()
+    e.count()
     # _undirect drops degenerate pairs — self-loops (a,a) and pairs
     # with a NULL partner — but the contract is "every doc appearing in
     # ≥1 pair": a doc whose only pairs are degenerate is its own

@@ -1151,13 +1151,23 @@ class SnapshotMergeSink:
         # the full-outer join at all — ``take_src`` is "source wins iff
         # strictly newer by (op_ts, batch_seq)", which over a total
         # version order is exactly the latest-wins reduce the MOR read
-        # side already runs.  union(target-state, batch-state) →
-        # repartition(_bucket) → partition-aligned max_by aggregate
-        # replaces [Exchange(src keys) + Exchange(tgt keys) + 2 Sorts +
-        # SortMergeJoin FullOuter + Exchange(_bucket)] with ONE
-        # exchange, and subsumes the separate batch dedup aggregate
-        # (map-side partial agg collapses intra-batch dupes pre-shuffle).
-        fast = not special and not collect_metrics and not emit_change_rows
+        # side already runs (ties resolved to the TARGET by an explicit
+        # target-wins ordering bit, matching take_src bit-for-bit).
+        # union(target-state, batch-state) → repartition(_bucket) →
+        # partition-aligned max_by aggregate replaces [Exchange(src
+        # keys) + Exchange(tgt keys) + 2 Sorts + SortMergeJoin
+        # FullOuter + Exchange(_bucket)] with ONE exchange, and
+        # subsumes the separate batch dedup aggregate (map-side partial
+        # agg collapses intra-batch dupes pre-shuffle).  Audit
+        # timestamps ride the same reduce: created_at = the target
+        # row's created_at when the key existed (an aggregate over the
+        # target-side flag — at most one target row per key) else
+        # batch_time; updated_at = batch_time iff the source side wins.
+        fast = (
+            not (update_only_nulls or not insert_missing or protected or listen_fields)
+            and not collect_metrics
+            and not emit_change_rows
+        )
         if self.write_mode == "mor":
             if special:
                 raise ValueError(
@@ -1223,18 +1233,23 @@ class SnapshotMergeSink:
         )
 
         if fast:
+            _TGT = "_is_tgt"
             src_state = src.select(
                 *payload_cols,
+                *audit_cols,  # batch_time-stamped create/update (audit only)
                 F.col(S.META_OP_TS),
                 F.col(S.META_BATCH_SEQ),
                 (F.col(S.OP_COL) == "D").alias(S.META_DELETED),
                 F.col(_BUCKET),
+                F.lit(False).alias(_TGT),
             )
             if tgt is None:
                 unioned = src_state
             else:
-                tgt_state = align_to_schema(tgt, state_schema).withColumn(
-                    _BUCKET, self._bucket_expr()
+                tgt_state = (
+                    align_to_schema(tgt, state_schema)
+                    .withColumn(_BUCKET, self._bucket_expr())
+                    .withColumn(_TGT, F.lit(True))
                 )
                 unioned = tgt_state.unionByName(src_state)
             rest = [c for c in unioned.columns if c not in (*self.key_cols, _BUCKET)]
@@ -1246,20 +1261,43 @@ class SnapshotMergeSink:
                 unioned = unioned.repartition(
                     min(self.n_buckets, max(1, len(touched))), _BUCKET
                 )
-            merged = (
-                unioned.groupBy(_BUCKET, *self.key_cols)
-                .agg(
-                    F.max_by(
-                        F.struct(*[F.col(c) for c in rest]),
-                        F.struct(F.col(S.META_OP_TS), F.col(S.META_BATCH_SEQ)),
-                    ).alias("_r")
+            aggs = [
+                F.max_by(
+                    F.struct(*[F.col(c) for c in rest]),
+                    # target-wins tie-break: take_src requires the source
+                    # to be STRICTLY newer, so on an exact version tie
+                    # the target row must win the reduce too
+                    F.struct(
+                        F.col(S.META_OP_TS), F.col(S.META_BATCH_SEQ), F.col(_TGT)
+                    ),
+                ).alias("_r")
+            ]
+            if self.audit_timestamps:
+                aggs += [
+                    F.max(F.when(F.col(_TGT), F.col(S.AUDIT_CREATED))).alias("_tc"),
+                    F.max(F.when(F.col(_TGT), F.col(S.AUDIT_UPDATED))).alias("_tu"),
+                ]
+            picked = unioned.groupBy(_BUCKET, *self.key_cols).agg(*aggs)
+            out_cols = [
+                F.col(f"_r.{c}").alias(c)
+                for c in rest
+                if c != _TGT and not (
+                    self.audit_timestamps and c in (S.AUDIT_CREATED, S.AUDIT_UPDATED)
                 )
-                .select(
-                    *self.key_cols,
-                    *[F.col(f"_r.{c}").alias(c) for c in rest],
-                    F.col(_BUCKET),
-                )
-            )
+            ]
+            if self.audit_timestamps:
+                bt = F.lit(batch_time).cast("timestamp")
+                out_cols += [
+                    # key existed before → its created_at survives (live
+                    # or tombstoned); first materialization → batch_time
+                    F.coalesce(F.col("_tc"), bt).alias(S.AUDIT_CREATED),
+                    # applied change (source side won) → batch_time;
+                    # else the target's updated_at stands
+                    F.when(~F.col(f"_r.{_TGT}"), bt)
+                    .otherwise(F.col("_tu"))
+                    .alias(S.AUDIT_UPDATED),
+                ]
+            merged = picked.select(*self.key_cols, *out_cols, F.col(_BUCKET))
         elif tgt is None:
             merged = src.select(
                 *payload_cols,

@@ -44,7 +44,10 @@ FROM {events}
 
 
 def ensure_scan_parallelism(
-    df: DataFrame, spark: SparkSession, min_partitions: int | None = None
+    df: DataFrame,
+    spark: SparkSession,
+    min_partitions: int | None = None,
+    path: str | None = None,
 ) -> DataFrame:
     """Input-skew guard (optimization guide §2.5): a table that lands in
     a handful of parquet row groups scans on that many tasks, so every
@@ -54,9 +57,39 @@ def ensure_scan_parallelism(
     parallelism, repartition right after the read.  A production-scale
     table with many files/row-groups passes through UNTOUCHED (no
     shuffle added); the repartition fires exactly in the degenerate
-    single-file case the guide calls out."""
+    single-file case the guide calls out.
+
+    Reserve it for scans feeding genuinely per-row-heavy work (per-
+    position hashing, shingling, a persisted replay feed): on a trivial
+    projection the added exchange costs more than the serial scan.
+
+    ``path`` probes split count from file sizes on the filesystem
+    (bytes / maxPartitionBytes) — no Spark planning; without it the
+    probe plans the scan RDD (slower, but exact)."""
+    import math
+    import os
+
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if path is not None:
+        if os.path.isdir(path):
+            nbytes = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+                if not f.startswith(("_", "."))
+            )
+        else:
+            nbytes = os.path.getsize(path)
+        raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").lower()
+        units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+        mult, digits = 1, raw.rstrip("ib")
+        if digits and digits[-1] in units:
+            mult, digits = units[digits[-1]], digits[:-1]
+        max_split = int(digits) * mult if digits.isdigit() else 134217728
+        splits = max(1, math.ceil(nbytes / max_split))
+    else:
+        splits = df.rdd.getNumPartitions()
+    if splits >= target:
         return df
     return df.repartition(target)
 
@@ -64,7 +97,7 @@ def ensure_scan_parallelism(
 def change_feed_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reshape the driver's ``events`` parquet into a CHANGE_EVENT feed."""
     path = f"{sf_dir}/events.parquet"
-    raw = ensure_scan_parallelism(spark.read.parquet(path), spark)
+    raw = ensure_scan_parallelism(spark.read.parquet(path), spark, path=path)
     raw.createOrReplaceTempView("_cs_events")
     # Spark's VARCHAR in cast is accepted as alias of STRING.
     return spark.sql(RESHAPE_SQL.format(events="_cs_events"))
