@@ -85,11 +85,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _q_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return change_feed_from_events(spark, sf_dir)
+    return change_feed_from_events(spark, sf_dir, spread=False)
 
 
 def _q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup_latest(change_feed_from_events(spark, sf_dir))
+    return dedup_latest(change_feed_from_events(spark, sf_dir, spread=False))
 
 
 def _q_apply_final(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,7 +101,7 @@ def _q_apply_replay_twice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feed = with_batch_id(change_feed_from_events(spark, sf_dir), N_BATCHES)
+    feed = with_batch_id(change_feed_from_events(spark, sf_dir, spread=False), N_BATCHES)
     return (
         feed.groupBy("batch_id")
         .agg(
@@ -117,7 +117,7 @@ def _q_tx_defaults_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame:
     insert_get_id surrogate (chomper/contrib/postgres.py:341-347) in one
     pipeline — consolidated so every registered query fits the driver's
     50-query correctness window."""
-    feed = change_feed_from_events(spark, sf_dir)
+    feed = change_feed_from_events(spark, sf_dir, spread=False)
     return tx.pipe(
         feed,
         tx.defaults({"tool": "none"}),
@@ -129,7 +129,7 @@ def _q_tx_defaults_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_tx_assign_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 Assigner + P12 expression ops + P6 value-mode Mapper
     (chomper/processors.py:145-178, :283-299) in one pipeline."""
-    feed = change_feed_from_events(spark, sf_dir)
+    feed = change_feed_from_events(spark, sf_dir, spread=False)
     return tx.pipe(
         feed,
         tx.assign("source", "cdc"),
@@ -145,7 +145,7 @@ def _q_tx_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mapper (rename) + P9 Omitter + P8 Picker in one pipeline
     (chomper/processors.py:208-233, :302-316, :236-263) — consolidated
     so every registered query fits the driver's 50-query window."""
-    feed = change_feed_from_events(spark, sf_dir)
+    feed = change_feed_from_events(spark, sf_dir, spread=False)
     return tx.pipe(
         feed,
         tx.drop_rows(F.col("op").isin("D") | (F.col("turn_idx") < 2)),
@@ -259,7 +259,7 @@ def _q_tx_nested_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaves so the DuckDB compare stays engine-portable."""
     from chomper_spark.operators import fields as fpath
 
-    feed = change_feed_from_events(spark, sf_dir)
+    feed = change_feed_from_events(spark, sf_dir, spread=False)
     df = feed.select(
         "batch_seq",
         F.when(
@@ -287,7 +287,7 @@ def _q_tx_nested_rename_pathset(spark: SparkSession, sf_dir: str) -> DataFrame:
     via transform, structs via UpdateFields, no Python anywhere."""
     from chomper_spark.operators import fields as fpath
 
-    feed = change_feed_from_events(spark, sf_dir)
+    feed = change_feed_from_events(spark, sf_dir, spread=False)
     df = feed.select(
         "batch_seq",
         F.struct(
@@ -322,7 +322,7 @@ def _q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookups are driver-initiated by nature); the bucket scan itself
     stays distributed and touches only the hashed-to buckets."""
     sink = _replay_sink(spark, sf_dir)
-    feed = change_feed_from_events(spark, sf_dir)
+    feed = change_feed_from_events(spark, sf_dir, spread=False)
     ids = feed.select("conv_id").distinct().orderBy("conv_id").limit(5)
     keys = [
         (r[0], r[1])
@@ -363,7 +363,7 @@ def _q_field_change_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     differs from the previous event's text (in (op_ts, batch_seq) order)."""
     from pyspark.sql import Window
 
-    feed = change_feed_from_events(spark, sf_dir)
+    feed = change_feed_from_events(spark, sf_dir, spread=False)
     w = Window.partitionBy("conv_id", "turn_idx").orderBy("op_ts", "batch_seq")
     prev = F.lag("text").over(w)
     changed = F.when(prev.isNotNull() & ~prev.eqNullSafe(F.col("text")), 1).otherwise(0)
@@ -535,7 +535,7 @@ def _q_streaming_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="chomper_spark_stream_")
     feed_dir = os.path.join(work, "feed")
-    feed = with_batch_id(change_feed_from_events(spark, sf_dir), 5)
+    feed = with_batch_id(change_feed_from_events(spark, sf_dir, spread=False), 5)
     for b in range(5):
         feed.filter(F.col("batch_id") == b).drop("batch_id").coalesce(1).write.mode(
             "append"
@@ -589,7 +589,7 @@ def _q_stateful_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="chomper_spark_state_q_")
     feed_dir = os.path.join(work, "feed")
     out_dir = os.path.join(work, "out")
-    feed = with_batch_id(change_feed_from_events(spark, sf_dir), 2)
+    feed = with_batch_id(change_feed_from_events(spark, sf_dir, spread=False), 2)
     for b in range(2):
         feed.filter(F.col("batch_id") == b).drop("batch_id").coalesce(1).write.mode(
             "append"
@@ -645,7 +645,7 @@ def _q_importer_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     imp = Importer(
         name="transcripts",
-        feeder=lambda s: change_feed_from_events(s, sf_dir),
+        feeder=lambda s: change_feed_from_events(s, sf_dir, spread=False),
         pipeline=[
             tx.drop_rows(F.col("role") == "system"),
             tx.map_values("tool", {"browser": "web"}),
@@ -658,7 +658,7 @@ def _q_importer_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    deduped = dedup_latest(change_feed_from_events(spark, sf_dir))
+    deduped = dedup_latest(change_feed_from_events(spark, sf_dir, spread=False))
     out = tx.pipe(deduped.select("conv_id", "turn_idx"), tx.sessionize(gap_turns=4))
     return out.select(
         "conv_id", "turn_idx", F.col("session_id").cast("long").alias("session_id")
@@ -668,7 +668,7 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chomper_spark.operators.skew import salted_count_per_conv
 
-    return salted_count_per_conv(change_feed_from_events(spark, sf_dir), n_salts=8)
+    return salted_count_per_conv(change_feed_from_events(spark, sf_dir, spread=False), n_salts=8)
 
 
 def _q_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:

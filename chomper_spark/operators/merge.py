@@ -1163,10 +1163,16 @@ class SnapshotMergeSink:
         # row's created_at when the key existed (an aggregate over the
         # target-side flag — at most one target row per key) else
         # batch_time; updated_at = batch_time iff the source side wins.
+        # emit_change_rows rides the fast path too: the state merge does
+        # not need the pre-image join — only the change ROWS do, and
+        # those come from a plain INNER join of the (deduped) batch
+        # against the touched target rows, which the planner/AQE can
+        # broadcast; the old shape persisted the full-outer merge join
+        # to drive both the state write and the change write from it.
         fast = (
-            not (update_only_nulls or not insert_missing or protected or listen_fields)
+            not (update_only_nulls or not insert_missing or protected)
             and not collect_metrics
-            and not emit_change_rows
+            and not (listen_fields and not emit_change_rows)
         )
         if self.write_mode == "mor":
             if special:
@@ -1298,6 +1304,61 @@ class SnapshotMergeSink:
                     .alias(S.AUDIT_UPDATED),
                 ]
             merged = picked.select(*self.key_cols, *out_cols, F.col(_BUCKET))
+            if emit_change_rows and tgt is not None:
+                # change rows = applied UPDATEs that changed a listened
+                # field on a live row: inner join of the deduped batch
+                # against the touched target rows (first-ever batch has
+                # no pre-image → no change dir, as on the join path)
+                sdd = dedup_latest_agg(
+                    src, self.key_cols, [S.META_OP_TS, S.META_BATCH_SEQ]
+                ).alias("s")
+                t2 = tgt_state.alias("t")
+                s_newer2 = (
+                    F.col(f"s.{S.META_OP_TS}") > F.col(f"t.{S.META_OP_TS}")
+                ) | (
+                    (F.col(f"s.{S.META_OP_TS}") == F.col(f"t.{S.META_OP_TS}"))
+                    & (F.col(f"s.{S.META_BATCH_SEQ}") > F.col(f"t.{S.META_BATCH_SEQ}"))
+                )
+                changed_rows = (
+                    t2.join(sdd, on=self.key_cols, how="inner")
+                    .filter(
+                        s_newer2
+                        & ~F.col(f"t.{S.META_DELETED}")
+                        & (F.col(f"s.{S.OP_COL}") != "D")
+                    )
+                    .select(
+                        *self.key_cols,
+                        F.explode(
+                            F.filter(
+                                F.array(
+                                    *[
+                                        F.struct(
+                                            F.lit(c).alias("field"),
+                                            F.col(f"t.{c}").cast("string").alias("old_value"),
+                                            F.col(f"s.{c}").cast("string").alias("new_value"),
+                                            (
+                                                ~F.col(f"s.{c}").eqNullSafe(F.col(f"t.{c}"))
+                                            ).alias("_chg"),
+                                        )
+                                        for c in listen_fields
+                                    ]
+                                ),
+                                lambda x: x["_chg"],
+                            )
+                        ).alias("_c"),
+                    )
+                    .select(
+                        *self.key_cols,
+                        F.col("_c.field").alias("field"),
+                        F.col("_c.old_value").alias("old_value"),
+                        F.col("_c.new_value").alias("new_value"),
+                        F.lit(batch_id).cast("long").alias("batch_id"),
+                    )
+                )
+                changed_rows.write.mode("overwrite").parquet(
+                    os.path.join(self.root, "changes", f"batch_id={batch_id}")
+                )
+                changes_written = True
         elif tgt is None:
             merged = src.select(
                 *payload_cols,
@@ -1466,7 +1527,7 @@ class SnapshotMergeSink:
             merged = merged.repartition(min(self.n_buckets, max(1, len(touched))), _BUCKET)
         merged.write.mode("overwrite").partitionBy(_BUCKET).parquet(out_path)
         src.unpersist()
-        if tgt is not None and emit_change_rows:
+        if tgt is not None and emit_change_rows and not fast:
             joined.unpersist()
         if collect_metrics:
             row = _obs_row(obs_write)  # populated by the write job above

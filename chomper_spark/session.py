@@ -27,6 +27,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # guide §9/§3.1: allow shuffled-hash joins when a side fits per
+        # partition (sort-merge stays the planner's fallback), and let
+        # AQE rewrite SMJ→SHJ at runtime when post-shuffle partitions
+        # are small — both are cluster defaults, not local-only tuning
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
+        # scalar @udf (if ever added) crosses the boundary as Arrow
+        # batches instead of pickled rows; pandas_udfs are unaffected
+        .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
         # committer v2: task outputs commit directly (no serial driver-side

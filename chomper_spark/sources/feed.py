@@ -94,10 +94,21 @@ def ensure_scan_parallelism(
     return df.repartition(target)
 
 
-def change_feed_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reshape the driver's ``events`` parquet into a CHANGE_EVENT feed."""
+def change_feed_from_events(
+    spark: SparkSession, sf_dir: str, spread: bool = True
+) -> DataFrame:
+    """Reshape the driver's ``events`` parquet into a CHANGE_EVENT feed.
+
+    ``spread`` applies the §2.5 input-skew guard (see
+    ``ensure_scan_parallelism``) — right for consumers that PERSIST the
+    feed and replay it through the merge engine (the cache and every
+    per-batch pre-shuffle stage inherit the scan's parallelism).  Pass
+    False for one-shot light pipelines whose first aggregation/window
+    shuffles anyway: there the extra exchange is pure overhead."""
     path = f"{sf_dir}/events.parquet"
-    raw = ensure_scan_parallelism(spark.read.parquet(path), spark, path=path)
+    raw = spark.read.parquet(path)
+    if spread:
+        raw = ensure_scan_parallelism(raw, spark, path=path)
     raw.createOrReplaceTempView("_cs_events")
     # Spark's VARCHAR in cast is accepted as alias of STRING.
     return spark.sql(RESHAPE_SQL.format(events="_cs_events"))

@@ -103,7 +103,16 @@ class StreamingApply:
     def _apply(self, batch_df, batch_id: int) -> None:
         """foreachBatch body.  Runs on the driver; all heavy lifting is
         DataFrame ops on executors."""
-        staged = stage_by_conv(batch_df, self.stage_partitions)
+        # stage only when the caller asked for explicit staging
+        # (round 6): apply_batch immediately re-clusters the batch by
+        # bucket, so an unconditional repartitionByRange here paid a
+        # range-sampling job + an exchange per micro-batch for
+        # partitioning the merge then threw away.
+        staged = (
+            stage_by_conv(batch_df, self.stage_partitions)
+            if self.stage_partitions
+            else batch_df
+        )
         kw = (
             {"delta_layout": self.delta_layout}
             if self.sink.write_mode == "mor"
