@@ -180,42 +180,42 @@ def ngram_jaccard_pairs(
     100 TB the trade flips when text IO dominates: pass True there
     (or persist upstream) — the knob exists so the choice is explicit
     and measurable rather than implicit."""
+    # Round-6 restructure (guide §1.2 "the distributed algorithm").
+    # One explode+collect_set shuffle builds the per-doc DISTINCT
+    # shingle-set arrays; the exploded occurrence view derives from it.
+    #
+    # The candidate self-join yields, per pair, the count of shared
+    # RARE shingles (count instead of distinct — same join, same
+    # shuffle).  Exact common = common_rare + common_hot with
+    # common_hot ≤ min(hot_a, hot_b) (hot_x = doc x's count of
+    # capped-out shingles), and jaccard is monotone in common for
+    # fixed sizes, so
+    #   ub = (common_rare + min(hot_a, hot_b)) /
+    #        (n_a + n_b - common_rare - min(hot_a, hot_b))
+    # is a TRUE upper bound: pairs with ub < threshold are pruned
+    # before the exact verify — never a qualifying pair (ub ≥ true
+    # jaccard), only skipped work.  The few survivors verify EXACTLY
+    # via size(array_intersect) of their full shingle sets — replacing
+    # the former full-shingle-set join of EVERY candidate pair (the
+    # measured 70%+ of this query's runtime: ~1.1M candidate pairs ×
+    # ~50 shingles each at sf0.1, of which 256 survive).
+    sets = shingle_sets(docs, SHINGLE_N)
     if persist_shingles:
         from pyspark import StorageLevel
 
-        sh = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    else:
-        sh = shingles(docs)
+        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+    occ = sets.select("doc_id", F.explode("shingles").alias("shingle"))
     # per-shingle document frequency via groupBy (NOT a window over
     # partitionBy(shingle): that would shuffle every occurrence of a hot
     # shingle into ONE task — reintroducing, as a single-task sort
     # buffer, the exact stop-word hot spot the cap exists to kill).
-    # groupBy partial-aggregates map-side, so the hot key arrives at the
-    # reducer as a handful of partial counts; the semi join back onto sh
-    # streams (1 build row per shingle, AQE-splittable probe side).
     rare_shingles = (
-        sh.groupBy("shingle")
+        occ.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") <= max_df)
         .select("shingle")
     )
-    rare = sh.join(rare_shingles, "shingle", "left_semi")
-    # Round-6 verify restructure (guide §1.2 "the distributed
-    # algorithm"): the candidate self-join already yields, per pair,
-    # the number of shared RARE shingles (count instead of distinct —
-    # same join, same shuffle).  Exact common = common_rare +
-    # common_hot, and common_hot ≤ min(hot_a, hot_b) where hot_x is
-    # doc x's count of capped-out (df > max_df) shingles.  Jaccard is
-    # monotone in common for fixed sizes, so
-    #   ub = (common_rare + min(hot_a, hot_b)) /
-    #        (n_a + n_b - common_rare - min(hot_a, hot_b))
-    # is a TRUE upper bound — pairs with ub < threshold are pruned
-    # without computing exact Jaccard (identical result set: only the
-    # work is skipped, never a qualifying pair).  The exact verify for
-    # the (few) survivors joins ONLY the hot-shingle occurrences —
-    # replacing the former full-shingle-set join of EVERY candidate
-    # pair (the measured 70%+ of this query's runtime: ~1.1M candidate
-    # pairs × ~50 shingles each at sf0.1, of which 256 survive).
+    rare = occ.join(rare_shingles, "shingle", "left_semi")
     pair_rare = (
         rare.alias("a")
         .join(rare.alias("b"), "shingle")
@@ -224,8 +224,7 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("_common_rare"))
     )
     sizes = (
-        sh.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_sh"))
+        sets.select("doc_id", F.size("shingles").alias("n_sh"))
         .join(
             rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n_rare")),
             "doc_id",
@@ -256,32 +255,9 @@ def ngram_jaccard_pairs(
             / (F.col("n_a") + F.col("n_b") - ub_common).cast("double")
             >= F.lit(threshold) - F.lit(1e-9)
         )
+        .select("doc_a", "doc_b")
     )
-    hot_sh = sh.join(rare_shingles, "shingle", "left_anti")
-    hot_common = (
-        survivors.select("doc_a", "doc_b")
-        .join(hot_sh.alias("ha"), F.col("doc_a") == F.col("ha.doc_id"))
-        .join(
-            hot_sh.alias("hb"),
-            (F.col("doc_b") == F.col("hb.doc_id"))
-            & (F.col("ha.shingle") == F.col("hb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("_common_hot"))
-    )
-    common = F.col("_common_rare") + F.coalesce(F.col("_common_hot"), F.lit(0))
-    return (
-        survivors.join(hot_common, ["doc_a", "doc_b"], "left")
-        .select(
-            "doc_a",
-            "doc_b",
-            stable6(
-                common.cast("double")
-                / (F.col("n_a") + F.col("n_b") - common).cast("double")
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _pair_jaccard_sets(survivors, sets).filter(F.col("jaccard") >= threshold)
 
 
 def ngram_jaccard_sql(threshold: float = 0.8, max_df: int = MAX_SHINGLE_DF) -> str:
@@ -408,14 +384,19 @@ def _pair_jaccard_sets(cand: DataFrame, sets: DataFrame) -> DataFrame:
 def _signature_cols(k: int):
     """MinHash signature columns from a ``shingles`` set array — a pure
     projection (array_min over per-salt md5 transforms), no shuffle;
-    value-identical to ``minhash_signatures``'s groupBy-min."""
+    value-identical to ``minhash_signatures``'s groupBy-min.
+
+    The per-salt lambda comes from a factory, NOT ``lambda s, i=i``:
+    a defaulted second parameter makes the lambda arity 2, which
+    ``F.transform`` interprets as (element, INDEX) — the index column
+    would silently overwrite the salt (caught by the sf1.0 scale
+    selfcheck; sf0.01 happened to mask it)."""
+
+    def _salted_md5(i: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+
     return [
-        F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)),
-            )
-        ).alias(f"h{i}")
+        F.array_min(F.transform(F.col("shingles"), _salted_md5(i))).alias(f"h{i}")
         for i in range(k)
     ]
 
@@ -715,11 +696,15 @@ def incremental_neardup(
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh = shingles(texts.join(ids, "doc_id", "left_semi")).persist()
+    # round 6: verify via per-doc shingle-set arrays (one
+    # explode+collect_set shuffle over the candidate docs only) and a
+    # codegen'd array_intersect per pair — same exact jaccard as the
+    # exploded shared-shingle join, two fewer joins and no re-explosion
+    sets = shingle_sets(texts.join(ids, "doc_id", "left_semi")).persist()
     if cache_registry is not None:
-        cache_registry.append(sh)
+        cache_registry.append(sets)
     return (
-        _pair_jaccard(sh, pairs_from=cand)
+        _pair_jaccard_sets(cand, sets)
         .filter(F.col("jaccard") >= threshold)
         .select(
             F.col("doc_a").alias("doc_id"),

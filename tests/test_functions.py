@@ -432,6 +432,24 @@ def test_ngram_jaccard_hot_shingle_common_is_exact(spark):
     assert out == exact and out[(100, 101)] == 1.0
 
 
+def test_minhash_signature_projection_equals_groupby_min(spark):
+    # the array_min(transform(md5)) projection must be value-identical
+    # to the exploded groupBy-min signature for EVERY doc and EVERY
+    # salt.  Regression: an arity-2 lambda (lambda s, i=i) made
+    # F.transform pass the array INDEX as the second argument,
+    # silently corrupting every salt — pair-level oracle checks at
+    # small SF masked it (identical docs still collide on identical
+    # garbage); this pins the signatures themselves.
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i%3} alpha beta gamma delta") for i in range(30)],
+        "doc_id long, text string",
+    )
+    old = dd.minhash_signatures(docs)
+    new = dd.shingle_sets(docs).select("doc_id", *dd._signature_cols(dd.MINHASH_K))
+    cond = " or ".join(f"o.h{i} <> n.h{i}" for i in range(dd.MINHASH_K))
+    assert old.alias("o").join(new.alias("n"), "doc_id").filter(cond).count() == 0
+
+
 def test_multimodal_plumbing_fake_decode(spark):
     out = mm.multimodal_features(_docs(spark), fake_decode=True)
     rows = {r["doc_id"]: r for r in out.collect()}

@@ -5,7 +5,7 @@ The query functions only return the final table read, so their
 ``explain`` never shows the apply; this hooks DataFrameWriter.parquet
 to dump each write's plan during one 4-batch replay.
 
-Usage: python tools/capture_merge_plan.py <out_file> [cow|mor]
+Usage: python tools/capture_merge_plan.py <out_file> [cow|mor|audit|changes]
 """
 
 from __future__ import annotations
@@ -45,21 +45,41 @@ def main() -> None:
     DataFrameWriter.parquet = hooked
     try:
         feed = with_batch_id(change_feed_from_events(spark, SF_DIR), 4).persist()
+        kw: dict = {}
+        write_mode = mode
+        if mode == "audit":
+            write_mode = "cow"
+            kw = {}
+        elif mode == "changes":
+            write_mode = "cow"
+            kw = {"listen_fields": ("text", "role"), "emit_change_rows": True}
         sink = SnapshotMergeSink(
-            spark, tempfile.mkdtemp(prefix="plan_cap_"), n_buckets=16, write_mode=mode
+            spark,
+            tempfile.mkdtemp(prefix="plan_cap_"),
+            n_buckets=16,
+            write_mode=write_mode,
+            audit_timestamps=(mode == "audit"),
         )
         for b in range(4):
+            if mode == "audit":
+                import datetime as dt
+
+                kw = {"batch_time": dt.datetime(2026, 1, 1) + dt.timedelta(days=b)}
             sink.apply_batch(
                 feed.filter(F.col("batch_id") == b).drop("batch_id"),
                 batch_id=b,
                 collect_metrics=False,
+                **kw,
             )
         feed.unpersist()
     finally:
         DataFrameWriter.parquet = orig
+    # last batch's steady-state shape: "changes" mode writes two files
+    # per batch (change rows + snapshot) — keep both
+    keep = plans[-2:] if mode == "changes" else plans[-1:]
     with open(out_file, "w") as fh:
         fh.write(f"# per-batch merge write plans ({mode}), sf={SF_DIR}\n")
-        fh.write("\n\n".join(plans[-1:]))  # last batch: steady-state shape
+        fh.write("\n\n".join(keep))
     print(f"wrote {out_file} ({len(plans)} writes captured)")
     spark.stop()
 
