@@ -48,7 +48,7 @@ def _replay_sink(
 ) -> SnapshotMergeSink:
     """Run the real engine: micro-batch the feed, MERGE each batch;
     return the sink for reading (full scan or point lookup)."""
-    feed = with_batch_id(change_feed_from_events(spark, sf_dir), N_BATCHES)
+    feed = with_batch_id(change_feed_from_events(spark, sf_dir, spread=False), N_BATCHES)
     feed = feed.persist()
     sink = SnapshotMergeSink(
         spark,
@@ -385,7 +385,7 @@ def _q_apply_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
     key's events across batches, actually exercising the audit arms."""
     import datetime as dt
 
-    feed = with_batch_id(change_feed_from_events(spark, sf_dir), 5).persist()
+    feed = with_batch_id(change_feed_from_events(spark, sf_dir, spread=False), 5).persist()
     sink = SnapshotMergeSink(
         spark,
         tempfile.mkdtemp(prefix="chomper_spark_audit_"),
@@ -411,7 +411,7 @@ def _q_change_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     (key, field, old, new, batch_id) for every applied UPDATE that
     changed a listened field on a live row.  5 batches — see
     _q_apply_timestamps for why %4 batching would make this vacuous."""
-    feed = with_batch_id(change_feed_from_events(spark, sf_dir), 5).persist()
+    feed = with_batch_id(change_feed_from_events(spark, sf_dir, spread=False), 5).persist()
     sink = SnapshotMergeSink(
         spark, tempfile.mkdtemp(prefix="chomper_spark_chg_"), n_buckets=16
     )
@@ -483,7 +483,7 @@ def _q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X25 time travel under the hash gate: apply 5 batches, then read
     the table AS OF the snapshot committed by batch 2 — must equal
     latest-wins over only the events of batches 0..2."""
-    feed = with_batch_id(change_feed_from_events(spark, sf_dir), 5).persist()
+    feed = with_batch_id(change_feed_from_events(spark, sf_dir, spread=False), 5).persist()
     sink = SnapshotMergeSink(
         spark, tempfile.mkdtemp(prefix="chomper_spark_tt_"), n_buckets=16
     )
@@ -505,7 +505,7 @@ def _q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     an INT score and no lang column; batch 1 widens score to DOUBLE and
     adds lang.  The table must evolve (widen + add, NULL-backfill) and
     the final state must match the relational oracle."""
-    feed = change_feed_from_events(spark, sf_dir)
+    feed = change_feed_from_events(spark, sf_dir, spread=False)
     base = ["op", "op_ts", "batch_seq", "conv_id", "turn_idx", "role", "text"]
     batch_a = feed.filter(F.col("batch_seq") % 2 == 0).select(
         *base, F.col("turn_idx").cast("int").alias("score")
@@ -557,7 +557,7 @@ def _q_truncate_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the full-refresh precursor, examples/companies.py:13), then apply
     batches 3..4 — the table must hold exactly the post-truncate
     batches' latest-wins state, with the batch ledger intact."""
-    feed = with_batch_id(change_feed_from_events(spark, sf_dir), 5).persist()
+    feed = with_batch_id(change_feed_from_events(spark, sf_dir, spread=False), 5).persist()
     sink = SnapshotMergeSink(
         spark, tempfile.mkdtemp(prefix="chomper_spark_trunc_"), n_buckets=16
     )
