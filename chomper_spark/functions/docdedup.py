@@ -321,8 +321,13 @@ def minhash_bands(
     """Melt each doc's MinHash signature into LSH band rows
     (doc_id, band_idx, band_val) — the candidate-generation key AND
     the row shape of the persistent band index (see
-    ``incremental_neardup``)."""
-    sig = minhash_signatures(docs, k)
+    ``incremental_neardup``).
+
+    Round 6: signatures come from the one-shuffle set-based projection
+    (``shingle_sets`` + ``_signature_cols``) instead of the two-shuffle
+    explode→distinct→groupBy-min — value-identical (pinned by
+    ``test_minhash_signature_projection_equals_groupby_min``)."""
+    sig = shingle_sets(docs).select("doc_id", *_signature_cols(k))
     banded = sig.select("doc_id", *_band_cols(k, bands, rows))
     return banded.select(
         "doc_id",
